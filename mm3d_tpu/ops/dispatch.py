@@ -1,0 +1,77 @@
+"""Implementation dispatch for geometry ops.
+
+Every op has a pure-JAX reference implementation (in `geometry.py`) and
+may have a Pallas TPU kernel (in `pallas_kernels.py`) registered under the
+same name.  Selection:
+
+* mode "auto"   — Pallas kernel when the default JAX backend is TPU and a
+                  kernel is registered; pure-JAX otherwise.
+* mode "jax"    — always pure-JAX.
+* mode "pallas" — always Pallas (interpret mode off-TPU is up to the kernel).
+
+The pure-JAX implementations are the semantic source of truth; kernels
+must match them bit-exactly for index-producing ops (tests enforce this).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Callable, Dict
+
+import jax
+
+_KERNELS: Dict[str, Callable] = {}
+_state = threading.local()
+
+
+def _mode() -> str:
+    return getattr(_state, "mode", "auto")
+
+
+def set_impl(mode: str) -> None:
+    """Set the global op-implementation mode: 'auto' | 'jax' | 'pallas'."""
+    if mode not in ("auto", "jax", "pallas"):
+        raise ValueError(f"unknown impl mode {mode!r}")
+    _state.mode = mode
+
+
+def get_impl() -> str:
+    return _mode()
+
+
+@contextlib.contextmanager
+def use_impl(mode: str):
+    """Context manager pinning the op-implementation mode."""
+    prev = _mode()
+    set_impl(mode)
+    try:
+        yield
+    finally:
+        set_impl(prev)
+
+
+def register_kernel(name: str, fn: Callable) -> None:
+    _KERNELS[name] = fn
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing should not fail
+        return False
+
+
+def resolve(name: str, jax_fn: Callable) -> Callable:
+    """Pick the active implementation for op `name`."""
+    mode = _mode()
+    if mode == "jax":
+        return jax_fn
+    kern = _KERNELS.get(name)
+    if kern is None:
+        if mode == "pallas":
+            raise NotImplementedError(f"no Pallas kernel registered for {name!r}")
+        return jax_fn
+    if mode == "pallas":
+        return kern
+    return kern if _on_tpu() else jax_fn

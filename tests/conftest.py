@@ -1,0 +1,25 @@
+"""Test harness config.
+
+Default test runs use the CPU backend with 8 virtual devices so that
+(a) results are deterministic and independent of TPU availability, and
+(b) the shard_map/pjit data-parallel path is exercised on a fake mesh
+(SURVEY.md §4.4).  Set MM3D_TEST_TPU=1 to run the suite on the real chip
+instead (used by scripts/run_tpu_tests.sh).
+
+Must run before jax initializes — keep this at import time, first.
+"""
+
+import os
+import sys
+
+if not os.environ.get("MM3D_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
