@@ -1,0 +1,95 @@
+"""Host-side input pipeline: fixed-shape batches + background prefetch.
+
+The reference's train loop blocks on per-batch numpy work (SURVEY.md §3.1);
+here a daemon thread produces batches ahead of the consumer and
+(optionally) starts the H2D transfer early, double-buffering the input so
+the accelerator never waits on preprocessing.  Heavy augmentation lives
+on-device (`augment.py`), so the host only samples/stacks.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _default_collate(samples: Sequence[Any]):
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: np.stack([s[k] for s in samples]) for k in first}
+    if isinstance(first, tuple):
+        return tuple(np.stack([s[i] for s in samples])
+                     for i in range(len(first)))
+    return np.stack(samples)
+
+
+class DataPipeline:
+    """Batches a map-style dataset with per-epoch shuffling and prefetch.
+
+    Args:
+      dataset: supports __len__ and __getitem__(int).
+      batch_size: static batch size; incomplete tails are dropped so every
+        device step sees the same shapes (no recompiles).
+      shuffle: reshuffle indices every epoch from `seed`.
+      prefetch: number of batches prepared ahead by the worker thread.
+      to_device: if True, `jax.device_put` each batch as it is produced
+        (overlaps H2D with the previous step's compute).
+      sharding: optional jax sharding passed to device_put (DP batch layout).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2,
+                 collate: Optional[Callable] = None,
+                 to_device: bool = True, sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = max(1, prefetch)
+        self.collate = collate or _default_collate
+        self.to_device = to_device
+        self.sharding = sharding
+
+    def steps_per_epoch(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        return idx[: self.steps_per_epoch() * self.batch_size]
+
+    def epoch(self, epoch: int = 0) -> Iterator[Any]:
+        """Iterate one epoch of batches with background prefetch."""
+        idx = self._epoch_indices(epoch)
+        nsteps = len(idx) // self.batch_size
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for s in range(nsteps):
+                    rows = idx[s * self.batch_size:(s + 1) * self.batch_size]
+                    batch = self.collate([self.dataset[int(i)] for i in rows])
+                    if self.to_device:
+                        batch = jax.device_put(batch, self.sharding)
+                    q.put(batch)
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item

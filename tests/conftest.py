@@ -13,12 +13,19 @@ import os
 import sys
 
 if not os.environ.get("MM3D_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Hard override: the host's sitecustomize force-registers the axon TPU
+    # backend regardless of JAX_PLATFORMS, so the env var alone is not
+    # enough — jax.config.update below is what actually pins CPU.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
