@@ -1,0 +1,96 @@
+"""Shared NN building blocks (Flax linen, channels-last).
+
+The torch lineage expresses per-point shared MLPs as Conv1d/Conv2d with
+1x1 kernels over ``[B, C, N]`` / ``[B, C, K, S]`` (SURVEY.md §2.3).  On
+TPU a 1x1 conv IS a matmul over the channel axis, so here everything is
+channels-last ``[B, ..., C]`` and a shared MLP is a stack of Dense layers
+— the channel axis maps onto MXU lanes and XLA fuses BN+ReLU into the
+matmul epilogue.
+
+``BatchNorm`` is hand-rolled (not nn.BatchNorm) so that momentum is a
+*call-time* argument: the lineage's training scripts anneal BN momentum
+per epoch (momentum = 0.1 * 0.5^(epoch//20), torch convention
+``running = (1-m)*running + m*batch``), which a static flax attribute
+cannot express without recompiling module trees.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the last axis with call-time momentum.
+
+    Torch semantics: eps 1e-5, momentum is the *new-batch* weight in the
+    running-stat update.  Stats live in the 'batch_stats' collection.
+    """
+
+    use_running_average: Optional[bool] = None
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None,
+                 momentum: float = 0.1):
+        ura = use_running_average
+        if ura is None:
+            ura = bool(self.use_running_average)
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features))
+        if ura:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x - mean), axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                # torch tracks *unbiased* running variance
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
+                ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias
+
+
+class SharedMLP(nn.Module):
+    """Dense+BN+ReLU stack applied pointwise over the last axis.
+
+    Equivalent of the lineage's Conv2d(1x1)+BatchNorm2d+ReLU pyramids
+    inside SA/FP blocks — on TPU each layer is one MXU matmul with the
+    normalization fused into its epilogue.
+    """
+
+    features: Sequence[int]
+    last_activation: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = BatchNorm(name=f"bn_{i}")(
+                x, use_running_average=not train, momentum=bn_momentum)
+            if self.last_activation or i + 1 < len(self.features):
+                x = nn.relu(x)
+        return x
+
+
+def log_softmax_head(x):
+    """The lineage returns log-probabilities from every model head."""
+    return nn.log_softmax(x, axis=-1)
+
+
+def max_pool_points(x, axis=-2):
+    """Symmetric max aggregation over a point/neighbor axis."""
+    return jnp.max(x, axis=axis)

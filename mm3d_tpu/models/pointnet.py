@@ -1,0 +1,194 @@
+"""PointNet model family (Flax, channels-last).
+
+Re-designed from the lineage's `pointnet_utils.py` / `pointnet_cls.py` /
+`pointnet_part_seg.py` / `pointnet_sem_seg.py` structure (SURVEY.md §2.3;
+reference mount empty, spec from BASELINE.json:5,7): STN alignment nets,
+shared-MLP encoder with max-pool symmetric aggregation, classification /
+part-seg / sem-seg heads returning log-probabilities, and the NLL +
+orthogonality-regularizer losses.
+
+All tensors are channels-last [B, N, C]; every "Conv1d(k=1)" of the torch
+original is a Dense over the channel axis (one MXU matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+
+
+class STN(nn.Module):
+    """Spatial transformer: predicts a k x k alignment matrix (STN3d/STNkd)."""
+
+    k: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
+        # x: [B, N, C_in]
+        h = SharedMLP([64, 128, 1024], name="mlp")(x, train, bn_momentum)
+        h = jnp.max(h, axis=1)  # [B, 1024]
+        for i, f in enumerate((512, 256)):
+            h = nn.Dense(f, name=f"fc_{i}")(h)
+            h = BatchNorm(name=f"fcbn_{i}")(
+                h, use_running_average=not train, momentum=bn_momentum)
+            h = nn.relu(h)
+        # zero-init final layer + additive identity => starts at identity
+        mat = nn.Dense(self.k * self.k, name="fc_out",
+                       kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros)(h)
+        mat = mat.reshape(-1, self.k, self.k) + jnp.eye(self.k, dtype=x.dtype)
+        return mat
+
+
+class PointNetEncoder(nn.Module):
+    """Shared-MLP encoder with optional input/feature STNs.
+
+    Returns (global_feat [B,1024] or per-point concat [B,N,1088],
+    trans [B,3,3], trans_feat [B,64,64] or None).
+    """
+
+    global_feat: bool = True
+    feature_transform: bool = False
+    channel: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
+        B, N, C = x.shape
+        trans = STN(k=3, name="stn")(x, train, bn_momentum)
+        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+        if C > 3:
+            x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
+        else:
+            x = xyz
+        x = SharedMLP([64], name="mlp1")(x, train, bn_momentum)
+        trans_feat = None
+        if self.feature_transform:
+            trans_feat = STN(k=64, name="fstn")(x, train, bn_momentum)
+            x = jnp.einsum("bnc,bcd->bnd", x, trans_feat)
+        point_feat = x
+        x = SharedMLP([128], name="mlp2")(x, train, bn_momentum)
+        x = nn.Dense(1024, name="conv3")(x)
+        x = BatchNorm(name="bn3")(
+            x, use_running_average=not train, momentum=bn_momentum)
+        gf = jnp.max(x, axis=1)  # [B,1024]
+        if self.global_feat:
+            return gf, trans, trans_feat
+        tiled = jnp.broadcast_to(gf[:, None, :], (B, N, 1024))
+        return jnp.concatenate([point_feat, tiled], -1), trans, trans_feat
+
+
+class PointNetCls(nn.Module):
+    """Config 1 (BASELINE.json:7): PointNet classification."""
+
+    num_class: int = 40
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
+                 deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        channel = 6 if self.normal_channel else 3
+        feat, trans, trans_feat = PointNetEncoder(
+            global_feat=True, feature_transform=True, channel=channel,
+            name="feat")(points[..., :channel], train, bn_momentum)
+        x = nn.Dense(512, name="fc1")(feat)
+        x = BatchNorm(name="bn1")(x, use_running_average=not train,
+                                  momentum=bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dense(256, name="fc2")(x)
+        x = nn.Dropout(0.4, deterministic=det, name="drop")(x)
+        x = BatchNorm(name="bn2")(x, use_running_average=not train,
+                                  momentum=bn_momentum)
+        x = nn.relu(x)
+        x = nn.Dense(self.num_class, name="fc3")(x)
+        return log_softmax_head(x), {"trans_feat": trans_feat}
+
+
+class PointNetPartSeg(nn.Module):
+    """PointNet part segmentation: per-point 50-way logits with one-hot
+    category conditioning (SURVEY.md §2.3)."""
+
+    num_part: int = 50
+    num_category: int = 16
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, cls_label_onehot, train: bool = True,
+                 bn_momentum: float = 0.1):
+        B, N, _ = points.shape
+        channel = 6 if self.normal_channel else 3
+        x = points[..., :channel]
+        trans = STN(k=3, name="stn")(x, train, bn_momentum)
+        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+        if channel > 3:
+            x = jnp.concatenate([xyz, x[..., 3:]], -1)
+        else:
+            x = xyz
+        out1 = SharedMLP([64, 128, 128], name="mlp1")(x, train, bn_momentum)
+        trans_feat = STN(k=128, name="fstn")(out1, train, bn_momentum)
+        net = jnp.einsum("bnc,bcd->bnd", out1, trans_feat)
+        out2 = SharedMLP([512], name="mlp2")(net, train, bn_momentum)
+        out3 = nn.Dense(2048, name="conv3")(out2)
+        out3 = BatchNorm(name="bn3")(out3, use_running_average=not train,
+                                     momentum=bn_momentum)
+        gf = jnp.max(out3, axis=1)  # [B,2048]
+        gf = jnp.concatenate([gf, cls_label_onehot.astype(gf.dtype)], -1)
+        tiled = jnp.broadcast_to(
+            gf[:, None, :], (B, N, gf.shape[-1]))
+        concat = jnp.concatenate([tiled, out1, net, out2, out3], -1)
+        h = SharedMLP([256, 256, 128], name="head_mlp")(
+            concat, train, bn_momentum)
+        h = nn.Dense(self.num_part, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": trans_feat}
+
+
+class PointNetSemSeg(nn.Module):
+    """PointNet semantic segmentation over 9-dim block features."""
+
+    num_class: int = 13
+    channel: int = 9
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1):
+        feat, trans, trans_feat = PointNetEncoder(
+            global_feat=False, feature_transform=True, channel=self.channel,
+            name="feat")(points, train, bn_momentum)
+        h = SharedMLP([512, 256, 128], name="head_mlp")(feat, train, bn_momentum)
+        h = nn.Dense(self.num_class, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": trans_feat}
+
+
+def feature_transform_regularizer(trans: jax.Array) -> jax.Array:
+    """mean ||I - A Aᵀ||_F over the batch (orthogonality penalty)."""
+    k = trans.shape[-1]
+    eye = jnp.eye(k, dtype=trans.dtype)
+    diff = eye - jnp.einsum("bij,bkj->bik", trans, trans)
+    # eps inside the sqrt: the STN starts at exactly identity (zero-init
+    # head), where ||0||'s gradient is NaN without it.
+    sq = jnp.sum(jnp.square(diff.reshape(diff.shape[0], -1)), axis=1)
+    return jnp.mean(jnp.sqrt(sq + 1e-12))
+
+
+def nll_loss(log_probs: jax.Array, target: jax.Array,
+             weight: Optional[jax.Array] = None) -> jax.Array:
+    """NLL on log-probabilities; log_probs [..., K], target [...] int."""
+    picked = jnp.take_along_axis(log_probs, target[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        w = weight[target]
+        return -jnp.sum(picked * w) / jnp.sum(w)
+    return -jnp.mean(picked)
+
+
+def pointnet_loss(log_probs, target, aux, mat_diff_loss_scale: float = 0.001,
+                  weight: Optional[jax.Array] = None) -> jax.Array:
+    """NLL + orthogonality regularizer on the feature transform."""
+    loss = nll_loss(log_probs, target, weight)
+    tf = aux.get("trans_feat") if aux else None
+    if tf is not None:
+        loss = loss + mat_diff_loss_scale * feature_transform_regularizer(tf)
+    return loss

@@ -1,0 +1,327 @@
+"""PointNet++ model family (Flax, channels-last).
+
+Set-abstraction (SSG + MSG) and feature-propagation blocks composed from
+the L0 geometry ops, plus the canonical classification / part-seg /
+sem-seg architectures (SURVEY.md §2.3, §3.3; hyperparameters are the
+canonical lineage configs — npoint/radius/nsample/mlp pyramids).
+
+TPU design notes (BASELINE.json:5):
+* channels-last everywhere — each shared-MLP layer is one MXU matmul and
+  XLA fuses the grouping gather, recentering, BN and ReLU around it, so
+  an SA block compiles to a single fused stage;
+* all shapes static (npoint/nsample fixed per config) — nothing
+  recompiles across steps;
+* the hot ops (FPS etc.) dispatch to Pallas kernels on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm3d_tpu import ops
+from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale grouping SA block: sample_and_group -> MLP -> max."""
+
+    npoint: Optional[int] = None  # None with group_all=True
+    radius: Optional[float] = None
+    nsample: Optional[int] = None
+    mlp: Sequence[int] = ()
+    group_all: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True,
+                 bn_momentum: float = 0.1):
+        # xyz [B,N,3], feats [B,N,D] or None
+        if self.group_all:
+            new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
+        else:
+            new_xyz, grouped = ops.sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, feats)
+        h = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
+        return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
+
+
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale grouping SA block: shared centroids, per-scale
+    (radius, nsample, mlp) branches, concat over scales."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool = True,
+                 bn_momentum: float = 0.1):
+        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.index_points(xyz, fps_idx)
+        outs = []
+        for i, (r, k) in enumerate(zip(self.radius_list, self.nsample_list)):
+            idx = ops.query_ball_point(r, k, xyz, new_xyz)
+            grouped_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, ops.index_points(feats, idx)], -1)
+            else:
+                grouped = grouped_xyz
+            h = SharedMLP(self.mlp_list[i], name=f"mlp_{i}")(
+                grouped, train, bn_momentum)
+            outs.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(outs, -1)
+
+
+class FeaturePropagation(nn.Module):
+    """FP decoder block: 3-NN inverse-distance upsample + skip + MLP."""
+
+    mlp: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = True,
+                 bn_momentum: float = 0.1):
+        # xyz1 [B,N,3] dense targets; xyz2 [B,M,3] sparse sources
+        B, N, _ = xyz1.shape
+        M = xyz2.shape[1]
+        if M == 1:
+            interpolated = jnp.broadcast_to(
+                feats2, (B, N, feats2.shape[-1]))
+        else:
+            dists, idx = ops.three_nn(xyz1, xyz2)
+            weight = ops.geometry.interpolation_weights(dists)
+            interpolated = ops.three_interpolate(feats2, idx, weight)
+        if feats1 is not None:
+            interpolated = jnp.concatenate([feats1, interpolated], -1)
+        return SharedMLP(self.mlp, name="mlp")(
+            interpolated, train, bn_momentum)
+
+
+# --------------------------------------------------------------- cls models
+
+
+class PointNet2ClsSSG(nn.Module):
+    """Config 2 (BASELINE.json:8): PointNet++ SSG classification."""
+
+    num_class: int = 40
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
+                 deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        xyz = points[..., :3]
+        feats = points[..., 3:6] if self.normal_channel else None
+        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1")(
+            xyz, feats, train, bn_momentum)
+        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2")(
+            xyz, f, train, bn_momentum)
+        _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
+                              name="sa3")(xyz, f, train, bn_momentum)
+        h = f[:, 0]  # [B,1024]
+        for i, (w, p) in enumerate(((512, 0.4), (256, 0.4))):
+            h = nn.Dense(w, name=f"fc{i+1}")(h)
+            h = BatchNorm(name=f"bn{i+1}")(
+                h, use_running_average=not train, momentum=bn_momentum)
+            h = nn.relu(h)
+            h = nn.Dropout(p, deterministic=det, name=f"drop{i+1}")(h)
+        h = nn.Dense(self.num_class, name="fc3")(h)
+        return log_softmax_head(h), {"trans_feat": None}
+
+
+class PointNet2ClsMSG(nn.Module):
+    """PointNet++ MSG classification (canonical multi-scale config)."""
+
+    num_class: int = 40
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
+                 deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        xyz = points[..., :3]
+        feats = points[..., 3:6] if self.normal_channel else None
+        xyz, f = SetAbstractionMsg(
+            512, (0.1, 0.2, 0.4), (16, 32, 128),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1")(
+                xyz, feats, train, bn_momentum)
+        xyz, f = SetAbstractionMsg(
+            128, (0.2, 0.4, 0.8), (32, 64, 128),
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), name="sa2")(
+                xyz, f, train, bn_momentum)
+        _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
+                              name="sa3")(xyz, f, train, bn_momentum)
+        h = f[:, 0]
+        for i, (w, p) in enumerate(((512, 0.4), (256, 0.5))):
+            h = nn.Dense(w, name=f"fc{i+1}")(h)
+            h = BatchNorm(name=f"bn{i+1}")(
+                h, use_running_average=not train, momentum=bn_momentum)
+            h = nn.relu(h)
+            h = nn.Dropout(p, deterministic=det, name=f"drop{i+1}")(h)
+        h = nn.Dense(self.num_class, name="fc3")(h)
+        return log_softmax_head(h), {"trans_feat": None}
+
+
+# ----------------------------------------------------------- part-seg models
+
+
+class PointNet2PartSegSSG(nn.Module):
+    """Config 3 fabric (BASELINE.json:9): SSG encoder + FP decoder,
+    one-hot category conditioning, per-point num_part logits."""
+
+    num_part: int = 50
+    num_category: int = 16
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, cls_label_onehot, train: bool = True,
+                 bn_momentum: float = 0.1, deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        B, N, _ = points.shape
+        l0_xyz = points[..., :3]
+        l0_feats = points if self.normal_channel else None
+        l1_xyz, l1_f = SetAbstraction(512, 0.2, 32, (64, 64, 128),
+                                      name="sa1")(l0_xyz, l0_feats, train,
+                                                  bn_momentum)
+        l2_xyz, l2_f = SetAbstraction(128, 0.4, 64, (128, 128, 256),
+                                      name="sa2")(l1_xyz, l1_f, train,
+                                                  bn_momentum)
+        l3_xyz, l3_f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
+                                      name="sa3")(l2_xyz, l2_f, train,
+                                                  bn_momentum)
+        l2_f = FeaturePropagation((256, 256), name="fp3")(
+            l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
+        cls_tiled = jnp.broadcast_to(
+            cls_label_onehot[:, None, :].astype(points.dtype),
+            (B, N, self.num_category))
+        l0_skip = jnp.concatenate([cls_tiled, l0_xyz, points], -1)
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+            l0_xyz, l1_xyz, l0_skip, l1_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
+        h = nn.Dense(self.num_part, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": None}
+
+
+class PointNet2PartSegMSG(nn.Module):
+    """Config 3 (BASELINE.json:9): PointNet++ MSG part segmentation."""
+
+    num_part: int = 50
+    num_category: int = 16
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, cls_label_onehot, train: bool = True,
+                 bn_momentum: float = 0.1, deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        B, N, _ = points.shape
+        l0_xyz = points[..., :3]
+        l0_feats = points if self.normal_channel else None
+        l1_xyz, l1_f = SetAbstractionMsg(
+            512, (0.1, 0.2, 0.4), (32, 64, 128),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1")(
+                l0_xyz, l0_feats, train, bn_momentum)
+        l2_xyz, l2_f = SetAbstractionMsg(
+            128, (0.4, 0.8), (64, 128),
+            ((128, 128, 256), (128, 196, 256)), name="sa2")(
+                l1_xyz, l1_f, train, bn_momentum)
+        l3_xyz, l3_f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
+                                      name="sa3")(l2_xyz, l2_f, train,
+                                                  bn_momentum)
+        l2_f = FeaturePropagation((256, 256), name="fp3")(
+            l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
+        cls_tiled = jnp.broadcast_to(
+            cls_label_onehot[:, None, :].astype(points.dtype),
+            (B, N, self.num_category))
+        l0_skip = jnp.concatenate([cls_tiled, l0_xyz, points], -1)
+        l0_f = FeaturePropagation((128, 128), name="fp1")(
+            l0_xyz, l1_xyz, l0_skip, l1_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
+        h = nn.Dense(self.num_part, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": None}
+
+
+# ------------------------------------------------------------ semseg models
+
+
+class PointNet2SemSeg(nn.Module):
+    """PointNet++ semantic segmentation (SSG, 4 SA + 4 FP stages)."""
+
+    num_class: int = 13
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
+                 deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        l0_xyz = points[..., :3]
+        l0_f = points  # 9-dim block features
+        l1_xyz, l1_f = SetAbstraction(1024, 0.1, 32, (32, 32, 64),
+                                      name="sa1")(l0_xyz, l0_f, train,
+                                                  bn_momentum)
+        l2_xyz, l2_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
+                                      name="sa2")(l1_xyz, l1_f, train,
+                                                  bn_momentum)
+        l3_xyz, l3_f = SetAbstraction(64, 0.4, 32, (128, 128, 256),
+                                      name="sa3")(l2_xyz, l2_f, train,
+                                                  bn_momentum)
+        l4_xyz, l4_f = SetAbstraction(16, 0.8, 32, (256, 256, 512),
+                                      name="sa4")(l3_xyz, l3_f, train,
+                                                  bn_momentum)
+        l3_f = FeaturePropagation((256, 256), name="fp4")(
+            l3_xyz, l4_xyz, l3_f, l4_f, train, bn_momentum)
+        l2_f = FeaturePropagation((256, 256), name="fp3")(
+            l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+            l0_xyz, l1_xyz, None, l1_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
+        h = nn.Dense(self.num_class, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": None}
+
+
+class PointNet2SemSegMSG(nn.Module):
+    """PointNet++ MSG semantic segmentation."""
+
+    num_class: int = 13
+
+    @nn.compact
+    def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
+                 deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        l0_xyz = points[..., :3]
+        l0_f = points
+        l1_xyz, l1_f = SetAbstractionMsg(
+            1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64)),
+            name="sa1")(l0_xyz, l0_f, train, bn_momentum)
+        l2_xyz, l2_f = SetAbstractionMsg(
+            256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128)),
+            name="sa2")(l1_xyz, l1_f, train, bn_momentum)
+        l3_xyz, l3_f = SetAbstractionMsg(
+            64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256)),
+            name="sa3")(l2_xyz, l2_f, train, bn_momentum)
+        l4_xyz, l4_f = SetAbstractionMsg(
+            16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512)),
+            name="sa4")(l3_xyz, l3_f, train, bn_momentum)
+        l3_f = FeaturePropagation((256, 256), name="fp4")(
+            l3_xyz, l4_xyz, l3_f, l4_f, train, bn_momentum)
+        l2_f = FeaturePropagation((256, 256), name="fp3")(
+            l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+            l0_xyz, l1_xyz, None, l1_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
+        h = nn.Dense(self.num_class, name="head_out")(h)
+        return log_softmax_head(h), {"trans_feat": None}

@@ -1,0 +1,77 @@
+"""Model registry: config name -> (module builder, loss, task metadata).
+
+Replaces the lineage's `--model` string + importlib lookup (SURVEY.md
+§2.4) with an explicit registry covering the five BASELINE.json configs
+plus the full canonical model family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+from mm3d_tpu.models import pointnet as pn
+from mm3d_tpu.models import pointnet2 as pn2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    task: str  # classification | partseg | semseg | fusion_cls | fusion_semseg
+    builder: Callable[..., Any]
+    loss: Callable[..., Any]
+    default_npoint: int
+    config_id: Optional[int] = None  # BASELINE.json configs 1..5
+
+
+_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register(spec: ModelSpec):
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_model(name: str, **overrides) -> ModelSpec:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}")
+    spec = _REGISTRY[name]
+    if overrides:
+        builder = spec.builder
+        spec = dataclasses.replace(
+            spec, builder=lambda **kw: builder(**{**overrides, **kw}))
+    return spec
+
+
+def available() -> Dict[str, ModelSpec]:
+    return dict(_REGISTRY)
+
+
+register(ModelSpec(
+    "pointnet_cls", "classification", pn.PointNetCls, pn.pointnet_loss,
+    default_npoint=1024, config_id=1))
+register(ModelSpec(
+    "pointnet2_cls_ssg", "classification", pn2.PointNet2ClsSSG,
+    pn.pointnet_loss, default_npoint=1024, config_id=2))
+register(ModelSpec(
+    "pointnet2_cls_msg", "classification", pn2.PointNet2ClsMSG,
+    pn.pointnet_loss, default_npoint=1024))
+register(ModelSpec(
+    "pointnet_part_seg", "partseg", pn.PointNetPartSeg, pn.pointnet_loss,
+    default_npoint=2048))
+register(ModelSpec(
+    "pointnet2_part_seg_ssg", "partseg", pn2.PointNet2PartSegSSG,
+    pn.pointnet_loss, default_npoint=2048))
+register(ModelSpec(
+    "pointnet2_part_seg_msg", "partseg", pn2.PointNet2PartSegMSG,
+    pn.pointnet_loss, default_npoint=2048, config_id=3))
+register(ModelSpec(
+    "pointnet_sem_seg", "semseg", pn.PointNetSemSeg, pn.pointnet_loss,
+    default_npoint=4096))
+register(ModelSpec(
+    "pointnet2_sem_seg", "semseg", pn2.PointNet2SemSeg, pn.pointnet_loss,
+    default_npoint=4096))
+register(ModelSpec(
+    "pointnet2_sem_seg_msg", "semseg", pn2.PointNet2SemSegMSG,
+    pn.pointnet_loss, default_npoint=4096))
