@@ -22,6 +22,10 @@ import numpy as np
 # ------------------------------------------------------------- primitives
 
 
+def _split_offset(split: str) -> int:
+    return {"train": 0, "test": 7_654_321, "val": 3_210_987}[split]
+
+
 def _unit(v, axis=-1):
     return v / (np.linalg.norm(v, axis=axis, keepdims=True) + 1e-9)
 
@@ -171,6 +175,8 @@ class SyntheticModelNet:
     normals: bool = False
     size: int = 2048
     seed: int = 0
+    split: str = "train"  # class definitions depend only on `seed`;
+    # the split offsets the instance stream so train/test are disjoint.
 
     def __post_init__(self):
         crng = np.random.RandomState(self.seed + 777)
@@ -189,7 +195,9 @@ class SyntheticModelNet:
         return self.size
 
     def __getitem__(self, index) -> Tuple[np.ndarray, int]:
-        rng = np.random.RandomState(self.seed * 1_000_003 + index)
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + _split_offset(self.split) + index)
+            % (2**32))
         label = index % self.num_classes
         spec = self.class_specs[label]
         n1 = self.npoints if "kind2" not in spec else self.npoints // 2
@@ -239,6 +247,7 @@ class SyntheticShapeNetPart:
     normals: bool = False
     size: int = 1024
     seed: int = 0
+    split: str = "train"
     num_categories: int = 16
     num_parts: int = 50
 
@@ -262,7 +271,9 @@ class SyntheticShapeNetPart:
         return self.size
 
     def __getitem__(self, index):
-        rng = np.random.RandomState(self.seed * 2_000_003 + index)
+        rng = np.random.RandomState(
+            (self.seed * 2_000_003 + _split_offset(self.split) + index)
+            % (2**32))
         cat = index % self.num_categories
         lo, hi = self.ranges[cat]
         parts = self.cat_specs[cat]
@@ -303,10 +314,13 @@ class SyntheticIndoorScene:
     npoints: int = 4096
     size: int = 512
     seed: int = 0
+    split: str = "train"
     num_classes: int = 13
 
     def __getitem__(self, index):
-        rng = np.random.RandomState(self.seed * 3_000_017 + index)
+        rng = np.random.RandomState(
+            (self.seed * 3_000_017 + _split_offset(self.split) + index)
+            % (2**32))
         room = rng.uniform(4.0, 8.0, 2)  # W, D
         H = rng.uniform(2.5, 3.5)
         n = self.npoints
@@ -433,13 +447,17 @@ class SyntheticMultimodal:
 
     def __getitem__(self, index):
         sample = self.base[index]
-        rng = np.random.RandomState(self.seed * 5_000_011 + index)
-        if len(sample) == 2:
-            pts, label = sample
+        off = _split_offset(getattr(self.base, "split", "train"))
+        rng = np.random.RandomState(
+            (self.seed * 5_000_011 + off + index) % (2**32))
+        if len(sample) == 2 and np.ndim(sample[1]) == 0:
+            pts, label = sample  # classification base (ModelNet-style)
             seg = None
-            cat = None
+        elif len(sample) == 2:
+            pts, seg = sample    # semseg base (IndoorScene-style)
+            label = 0
         else:
-            pts, cat, seg = sample
+            pts, cat, seg = sample  # partseg base
             label = cat
         xyz = pts[:, :3]
         theta = rng.uniform(0, 2 * np.pi)

@@ -1,0 +1,144 @@
+"""Multimodal point+image fusion models (configs 4-5, BASELINE.json:10-11).
+
+Late fusion for classification (global point feature ⊕ global image
+feature) and per-point fusion for segmentation (point features ⊕
+projected-and-bilinearly-sampled pixel features), each with 'concat' and
+'attention' fusion heads (SURVEY.md §3.4).  Everything runs on device in
+one jitted stage: CNN, projection, sampling, fusion, head — no host
+round-trips (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mm3d_tpu.models.image import ImageEncoder
+from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+from mm3d_tpu.models.pointnet2 import (FeaturePropagation, SetAbstraction)
+from mm3d_tpu.ops import projection as proj
+
+
+class PointTrunkCls(nn.Module):
+    """PointNet++ SSG trunk -> [B, 1024] global feature."""
+
+    @nn.compact
+    def __call__(self, xyz, feats=None, train: bool = True,
+                 bn_momentum: float = 0.1):
+        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1")(
+            xyz, feats, train, bn_momentum)
+        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2")(
+            xyz, f, train, bn_momentum)
+        _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
+                              name="sa3")(xyz, f, train, bn_momentum)
+        return f[:, 0]
+
+
+class PointTrunkDense(nn.Module):
+    """SA×2 down + FP×2 up -> [B, N, 128] per-point features."""
+
+    @nn.compact
+    def __call__(self, xyz, feats=None, train: bool = True,
+                 bn_momentum: float = 0.1):
+        l1_xyz, l1_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
+                                      name="sa1")(xyz, feats, train,
+                                                  bn_momentum)
+        l2_xyz, l2_f = SetAbstraction(64, 0.4, 64, (128, 128, 256),
+                                      name="sa2")(l1_xyz, l1_f, train,
+                                                  bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2")(
+            l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
+        l0_f = FeaturePropagation((128, 128), name="fp1")(
+            xyz, l1_xyz, feats, l1_f, train, bn_momentum)
+        return l0_f
+
+
+class AttentionFusion(nn.Module):
+    """Learned softmax gate over modalities projected to a common width."""
+
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array]):
+        projected = [nn.Dense(self.features, name=f"proj_{i}")(f)
+                     for i, f in enumerate(feats)]
+        scores = [nn.Dense(1, name=f"score_{i}")(jnp.tanh(p))
+                  for i, p in enumerate(projected)]
+        alpha = jax.nn.softmax(jnp.concatenate(scores, axis=-1), axis=-1)
+        stacked = jnp.stack(projected, axis=-1)  # [..., F, M]
+        fused = jnp.sum(stacked * alpha[..., None, :], axis=-1)
+        return fused, alpha
+
+
+class FusionCls(nn.Module):
+    """Config 4: image+point late-fusion classification."""
+
+    num_class: int = 40
+    fusion: str = "concat"  # concat | attention
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, image, K, R, t, train: bool = True,
+                 bn_momentum: float = 0.1, deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        xyz = points[..., :3]
+        feats = points[..., 3:6] if self.normal_channel else None
+        pf = PointTrunkCls(name="point_trunk")(xyz, feats, train, bn_momentum)
+        _, imgf = ImageEncoder(name="image_trunk")(image, train, bn_momentum)
+        aux = {"trans_feat": None}
+        if self.fusion == "attention":
+            fused, alpha = AttentionFusion(256, name="fuse")([pf, imgf])
+            aux["fusion_alpha"] = alpha
+        else:
+            fused = jnp.concatenate([pf, imgf], axis=-1)
+        h = nn.Dense(512, name="fc1")(fused)
+        h = BatchNorm(name="bn1")(h, use_running_average=not train,
+                                  momentum=bn_momentum)
+        h = nn.relu(h)
+        h = nn.Dropout(0.4, deterministic=det, name="drop1")(h)
+        h = nn.Dense(256, name="fc2")(h)
+        h = BatchNorm(name="bn2")(h, use_running_average=not train,
+                                  momentum=bn_momentum)
+        h = nn.relu(h)
+        h = nn.Dropout(0.4, deterministic=det, name="drop2")(h)
+        h = nn.Dense(self.num_class, name="fc3")(h)
+        return log_softmax_head(h), aux
+
+
+class FusionSemSeg(nn.Module):
+    """Config 5: per-point semantic segmentation with point<->pixel fusion.
+
+    Points project into the image; pixel features are bilinearly sampled
+    from the CNN's stride-4 map and fused per point with the point-trunk
+    features ('concat' or 'attention'), then a shared-MLP head predicts
+    per-point classes.
+    """
+
+    num_class: int = 13
+    fusion: str = "concat"
+    image_stride: int = 4
+
+    @nn.compact
+    def __call__(self, points, image, K, R, t, train: bool = True,
+                 bn_momentum: float = 0.1, deterministic: Optional[bool] = None):
+        det = (not train) if deterministic is None else deterministic
+        xyz = points[..., :3]
+        pf = PointTrunkDense(name="point_trunk")(
+            xyz, points, train, bn_momentum)  # [B,N,128]
+        fmap, _ = ImageEncoder(name="image_trunk")(image, train, bn_momentum)
+        H, W = image.shape[1], image.shape[2]
+        pixf, valid = proj.sample_image_features(
+            fmap, xyz, K, R, t, (H, W), stride=self.image_stride)
+        aux = {"trans_feat": None, "proj_valid": valid}
+        if self.fusion == "attention":
+            fused, alpha = AttentionFusion(128, name="fuse")([pf, pixf])
+            aux["fusion_alpha"] = alpha
+        else:
+            fused = jnp.concatenate([pf, pixf], axis=-1)
+        h = SharedMLP([128], name="head_mlp")(fused, train, bn_momentum)
+        h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
+        h = nn.Dense(self.num_class, name="head_out")(h)
+        return log_softmax_head(h), aux

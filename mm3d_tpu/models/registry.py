@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Dict, Optional
 
+from mm3d_tpu.models import fusion as fu
 from mm3d_tpu.models import pointnet as pn
 from mm3d_tpu.models import pointnet2 as pn2
 
@@ -75,3 +76,17 @@ register(ModelSpec(
 register(ModelSpec(
     "pointnet2_sem_seg_msg", "semseg", pn2.PointNet2SemSegMSG,
     pn.pointnet_loss, default_npoint=4096))
+register(ModelSpec(
+    "fusion_cls", "fusion_cls", fu.FusionCls, pn.pointnet_loss,
+    default_npoint=1024, config_id=4))
+register(ModelSpec(
+    "fusion_cls_attention", "fusion_cls",
+    lambda **kw: fu.FusionCls(fusion="attention", **kw), pn.pointnet_loss,
+    default_npoint=1024))
+register(ModelSpec(
+    "fusion_sem_seg", "fusion_semseg", fu.FusionSemSeg, pn.pointnet_loss,
+    default_npoint=2048, config_id=5))
+register(ModelSpec(
+    "fusion_sem_seg_attention", "fusion_semseg",
+    lambda **kw: fu.FusionSemSeg(fusion="attention", **kw), pn.pointnet_loss,
+    default_npoint=2048))

@@ -1,0 +1,11 @@
+"""Mesh construction and SPMD sharding helpers (data parallel first)."""
+
+from mm3d_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch"]

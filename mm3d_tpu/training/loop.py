@@ -1,0 +1,268 @@
+"""Trainer: epoch loop, eval, checkpointing, resume (L3).
+
+The jitted step does everything on device; the loop only schedules
+epochs, feeds prefetched batches, logs scalars and saves checkpoints
+(SURVEY.md §3.1 -> TPU-native rebuild)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm3d_tpu.data import augment as aug
+from mm3d_tpu.data import synthetic as syn
+from mm3d_tpu.data.pipeline import DataPipeline
+from mm3d_tpu.models import get_model
+from mm3d_tpu.parallel import make_mesh, batch_sharding
+from mm3d_tpu.training import schedules, steps
+from mm3d_tpu.training.state import create_train_state, make_optimizer
+from mm3d_tpu.utils import metrics as M
+from mm3d_tpu.utils.checkpoint import CheckpointManager
+from mm3d_tpu.utils.logging_utils import MetricsLogger, create_run_dir
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "pointnet2_cls_ssg"
+    epochs: int = 10
+    batch_size: int = 24
+    npoint: int = 1024
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"
+    weight_decay: float = 1e-4
+    lr_step: int = 20
+    lr_gamma: float = 0.7
+    min_lr: float = 1e-5
+    bn_init_momentum: float = 0.1
+    normal_channel: bool = False
+    num_class: int = 40
+    num_category: int = 16  # partseg categories
+    seed: int = 0
+    log_dir: str = "log"
+    run_name: Optional[str] = None
+    train_size: int = 512
+    test_size: int = 128
+    log_every: int = 10
+    eval_every: int = 1
+    checkpoint: bool = True
+    resume: bool = False
+    augmentations: Optional[Sequence[str]] = None
+    image_hw: tuple = (64, 64)
+    fusion: str = "concat"  # fusion head for fusion_* models
+
+
+def build_datasets(cfg: TrainConfig, task: str):
+    """Synthetic datasets shaped like the real ones (SURVEY.md §7(f))."""
+    if task == "classification":
+        mk = lambda size, split: syn.SyntheticModelNet(
+            num_classes=cfg.num_class, npoints=cfg.npoint,
+            normals=cfg.normal_channel, size=size, seed=cfg.seed, split=split)
+    elif task == "partseg":
+        mk = lambda size, split: syn.SyntheticShapeNetPart(
+            npoints=cfg.npoint, normals=cfg.normal_channel, size=size,
+            seed=cfg.seed, split=split)
+    elif task == "semseg":
+        mk = lambda size, split: syn.SyntheticIndoorScene(
+            npoints=cfg.npoint, size=size, seed=cfg.seed, split=split)
+    elif task == "fusion_cls":
+        mk = lambda size, split: syn.SyntheticMultimodal(
+            base=syn.SyntheticModelNet(
+                num_classes=cfg.num_class, npoints=cfg.npoint,
+                normals=cfg.normal_channel, size=size, seed=cfg.seed,
+                split=split),
+            hw=cfg.image_hw, seed=cfg.seed)
+    elif task == "fusion_semseg":
+        mk = lambda size, split: syn.SyntheticMultimodal(
+            base=syn.SyntheticIndoorScene(
+                npoints=cfg.npoint, size=size, seed=cfg.seed, split=split),
+            hw=cfg.image_hw, seed=cfg.seed)
+    else:
+        raise ValueError(task)
+    # same class/category definitions (seed), disjoint instance streams
+    return mk(cfg.train_size, "train"), mk(cfg.test_size, "test")
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, train_ds=None, test_ds=None):
+        self.cfg = cfg
+        self.spec = get_model(cfg.model)
+        self.task = self.spec.task
+        if train_ds is None or test_ds is None:
+            train_ds, test_ds = build_datasets(cfg, self.task)
+        # data-parallel width must divide the batch; idle extra devices
+        # rather than failing (a test nicety — production batches divide).
+        import math
+        n_dev = len(jax.devices())
+        dp = math.gcd(cfg.batch_size, n_dev)
+        self.mesh = make_mesh(jax.devices()[:dp], data_parallel=dp)
+        sh = batch_sharding(self.mesh)
+        self.train_pipe = DataPipeline(train_ds, cfg.batch_size, shuffle=True,
+                                       seed=cfg.seed, sharding=sh)
+        self.test_pipe = DataPipeline(test_ds, cfg.batch_size, shuffle=False,
+                                      sharding=sh)
+        kwargs = {}
+        if self.task == "classification":
+            kwargs = {"num_class": cfg.num_class,
+                      "normal_channel": cfg.normal_channel}
+        elif self.task == "partseg":
+            kwargs = {"normal_channel": cfg.normal_channel}
+        elif self.task == "semseg":
+            kwargs = {"num_class": 13}
+        elif self.task == "fusion_cls":
+            kwargs = {"num_class": cfg.num_class,
+                      "normal_channel": cfg.normal_channel}
+        elif self.task == "fusion_semseg":
+            kwargs = {"num_class": 13}
+        self.model = self.spec.builder(**kwargs)
+        self.tx = make_optimizer(cfg.optimizer, cfg.weight_decay)
+
+        example = self._example_batch(train_ds)
+        self.state = create_train_state(
+            self.model, self.tx, jax.random.PRNGKey(cfg.seed),
+            self._model_args(example))
+
+        augs = cfg.augmentations
+        if augs is None:
+            augs = aug.TASK_PIPELINES.get(self.task, ())
+        self.train_step = steps.make_train_step(
+            self.model, self.spec.loss, self.tx, self.task,
+            augment_names=tuple(augs), num_category=cfg.num_category)
+        eval_kwargs = {}
+        if self.task == "partseg":
+            ranges = syn.shapenet_part_ranges()
+            start = jnp.array([ranges[c][0] for c in range(16)], jnp.int32)
+            count = jnp.array([ranges[c][1] - ranges[c][0] for c in range(16)],
+                              jnp.int32)
+            eval_kwargs = {"part_start": start, "part_count": count,
+                           "max_parts": int(count.max())}
+        num_eval_classes = {"classification": cfg.num_class,
+                            "partseg": 50, "semseg": 13,
+                            "fusion_cls": cfg.num_class,
+                            "fusion_semseg": 13}[self.task]
+        self.eval_step = steps.make_eval_step(
+            self.model, self.spec.loss, self.task, num_eval_classes,
+            num_category=cfg.num_category, **eval_kwargs)
+
+        self.run_dir = create_run_dir(cfg.log_dir, self.task, cfg.run_name)
+        self.log = MetricsLogger(self.run_dir)
+        self.ckpt = None
+        if cfg.checkpoint:
+            best_metric = {"classification": "instance_acc",
+                           "partseg": "instance_miou",
+                           "semseg": "miou",
+                           "fusion_cls": "instance_acc",
+                           "fusion_semseg": "miou"}[self.task]
+            self.ckpt = CheckpointManager(
+                os.path.join(self.run_dir, "checkpoints"),
+                best_metric=best_metric)
+        self.start_epoch = 0
+        if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.start_epoch = int(self.state.step) // max(
+                self.train_pipe.steps_per_epoch(), 1)
+            self.log.info("resumed from step %d (epoch %d)",
+                          int(self.state.step), self.start_epoch)
+
+    def _example_batch(self, ds):
+        from mm3d_tpu.data.pipeline import _default_collate
+        return _default_collate([ds[i] for i in range(self.cfg.batch_size)])
+
+    def _model_args(self, batch):
+        if isinstance(batch, dict):
+            return (jnp.asarray(batch["points"]), jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["K"]), jnp.asarray(batch["R"]),
+                    jnp.asarray(batch["t"]))
+        pts = jnp.asarray(batch[0])
+        if self.task == "partseg":
+            onehot = jax.nn.one_hot(jnp.asarray(batch[1]),
+                                    self.cfg.num_category)
+            return (pts, onehot)
+        return (pts,)
+
+    # ------------------------------------------------------------- epochs
+
+    def train_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        lr = schedules.step_lr(cfg.learning_rate, epoch, cfg.lr_step,
+                               cfg.lr_gamma, cfg.min_lr)
+        bn_m = schedules.bn_momentum_schedule(epoch, cfg.bn_init_momentum)
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+        losses, accs = [], []
+        t0 = time.time()
+        for i, batch in enumerate(self.train_pipe.epoch(epoch)):
+            self.state, m = self.train_step(self.state, batch, lr, bn_m, key)
+            if (i + 1) % cfg.log_every == 0:
+                losses.append(float(m["loss"]))
+                accs.append(float(m["accuracy"]))
+        dt = time.time() - t0
+        nsteps = self.train_pipe.steps_per_epoch()
+        out = {"lr": lr, "bn_momentum": bn_m,
+               "epoch_time_s": dt,
+               "clouds_per_s": nsteps * cfg.batch_size / max(dt, 1e-9)}
+        if losses:
+            out.update({"loss": float(np.mean(losses)),
+                        "train_acc": float(np.mean(accs))})
+        return out
+
+    def evaluate(self) -> dict:
+        task = self.task
+        total_correct = 0
+        total_count = 0
+        losses = []
+        cm = None
+        ious, cats = [], []
+        for batch in self.test_pipe.epoch(0):
+            m = self.eval_step(self.state, batch)
+            losses.append(float(m["loss"]))
+            total_correct += int(m["correct"])
+            total_count += int(m["count"])
+            if "cm" in m:
+                cm = m["cm"] if cm is None else cm + m["cm"]
+            if "ious" in m:
+                ious.append(np.asarray(m["ious"]))
+                cats.append(np.asarray(m["cats"]))
+        out = {"eval_loss": float(np.mean(losses)) if losses else 0.0}
+        if task in ("classification", "fusion_cls"):
+            out["instance_acc"] = total_correct / max(total_count, 1)
+            out["class_acc"] = float(M.per_class_accuracy(cm))
+        elif task == "partseg":
+            all_ious = np.concatenate(ious) if ious else np.zeros(0)
+            all_cats = np.concatenate(cats) if cats else np.zeros(0, np.int32)
+            out["point_acc"] = total_correct / max(total_count, 1)
+            out.update(M.partseg_metrics_host(all_ious, all_cats,
+                                              self.cfg.num_category))
+        elif task in ("semseg", "fusion_semseg"):
+            out["point_acc"] = total_correct / max(total_count, 1)
+            _, miou = M.iou_from_confusion(cm)
+            out["miou"] = float(miou)
+        return out
+
+    def fit(self) -> dict:
+        best = -1.0
+        best_key = {"classification": "instance_acc",
+                    "partseg": "instance_miou", "semseg": "miou",
+                    "fusion_cls": "instance_acc",
+                    "fusion_semseg": "miou"}[self.task]
+        final_eval = {}
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            tm = self.train_epoch(epoch)
+            self.log.log_metrics(epoch, tm, prefix="train/")
+            if (epoch + 1) % self.cfg.eval_every == 0:
+                em = self.evaluate()
+                final_eval = em
+                self.log.log_metrics(epoch, em, prefix="eval/")
+                if self.ckpt:
+                    self.ckpt.save(int(self.state.step), self.state,
+                                   metrics={best_key: em[best_key]})
+                if em[best_key] > best:
+                    best = em[best_key]
+        if self.ckpt:
+            self.ckpt.wait()
+        final_eval[f"best_{best_key}"] = best
+        return final_eval

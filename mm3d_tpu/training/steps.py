@@ -1,0 +1,198 @@
+"""Jitted train/eval step factories (mesh-aware SPMD).
+
+One compiled step per run: augmentation, forward, loss, backward,
+optimizer update and metric reductions all live inside a single jit
+(BASELINE.json:5 — no host round-trips in the hot loop).  With a mesh,
+the batch axis is sharded over DATA_AXIS and params are replicated; XLA
+inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mm3d_tpu.data import augment as aug
+from mm3d_tpu.parallel import mesh as pmesh
+from mm3d_tpu.training.state import TrainState, apply_updates
+from mm3d_tpu.utils import metrics as M
+
+
+def _maybe_shard(jit_fn, mesh, state_like):
+    return jit_fn  # shardings flow from the input placements (device_put)
+
+
+def _split_variables(state: TrainState):
+    v = {"params": state.params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
+def _apply_train(model, state, key, args, bn_momentum):
+    variables = _split_variables(state)
+    mutable = ["batch_stats"] if state.batch_stats else []
+    out = model.apply(variables, *args, train=True,
+                      bn_momentum=bn_momentum,
+                      rngs={"dropout": key}, mutable=mutable)
+    if mutable:
+        (log_probs, aux), mut = out
+        return log_probs, aux, mut.get("batch_stats", state.batch_stats)
+    log_probs, aux = out
+    return log_probs, aux, state.batch_stats
+
+
+def make_train_step(model, loss_fn, tx, task: str,
+                    augment_names: Sequence[str] = (),
+                    num_category: int = 16,
+                    class_weights=None,
+                    donate: bool = True) -> Callable:
+    """Returns jitted (state, batch, lr, bn_momentum, key) -> (state, metrics).
+
+    Batch formats: classification (points, label);
+    partseg (points, cat, seg); semseg (points, seg).
+    """
+
+    def step(state: TrainState, batch, lr, bn_momentum, key):
+        k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
+        points = batch["points"] if isinstance(batch, dict) else batch[0]
+        if augment_names:
+            points = aug.augment_batch(k_aug, points, tuple(augment_names))
+
+        if task == "classification":
+            target = batch[1]
+            args = (points,)
+        elif task == "partseg":
+            cat, target = batch[1], batch[2]
+            onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
+            args = (points, onehot)
+        elif task == "semseg":
+            target = batch[1]
+            args = (points,)
+        elif task in ("fusion_cls", "fusion_semseg"):
+            target = batch["label"] if task == "fusion_cls" else batch["seg"]
+            args = (points, batch["image"], batch["K"], batch["R"],
+                    batch["t"])
+        else:
+            raise ValueError(task)
+
+        def loss_of(params):
+            st = state.replace(params=params)
+            log_probs, aux, new_bs = _apply_train(
+                model, st, k_drop, args, bn_momentum)
+            loss = loss_fn(log_probs, target, aux, weight=class_weights)
+            return loss, (log_probs, new_bs)
+
+        (loss, (log_probs, new_bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = apply_updates(state, grads, tx, lr).replace(
+            batch_stats=new_bs)
+        metrics = {"loss": loss, "accuracy": M.accuracy(log_probs, target)}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn, task: str, num_classes: int,
+                   num_category: int = 16,
+                   part_start=None, part_count=None,
+                   max_parts: int = 6) -> Callable:
+    """Returns jitted (state, batch) -> per-batch metric pieces.
+
+    classification -> dict(loss, correct, cm [C,C])
+    partseg       -> dict(loss, correct, ious [B], cats [B])
+    semseg        -> dict(loss, correct, cm [C,C])
+    """
+
+    def step(state: TrainState, batch):
+        variables = _split_variables(state)
+        points = batch["points"] if isinstance(batch, dict) else batch[0]
+        if task == "fusion_cls":
+            target = batch["label"]
+            log_probs, aux = model.apply(
+                variables, points, batch["image"], batch["K"], batch["R"],
+                batch["t"], train=False)
+            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
+            return {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(pred == target),
+                "count": target.size,
+                "cm": M.confusion_matrix(pred, target, num_classes),
+            }
+        if task == "fusion_semseg":
+            target = batch["seg"]
+            log_probs, aux = model.apply(
+                variables, points, batch["image"], batch["K"], batch["R"],
+                batch["t"], train=False)
+            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
+            return {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(pred == target),
+                "count": target.size,
+                "cm": M.confusion_matrix(pred, target, num_classes),
+            }
+        if task == "classification":
+            target = batch[1]
+            log_probs, aux = model.apply(variables, points, train=False)
+            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
+            return {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(pred == target),
+                "count": target.size,
+                "cm": M.confusion_matrix(pred, target, num_classes),
+            }
+        if task == "partseg":
+            cat, target = batch[1], batch[2]
+            onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
+            log_probs, aux = model.apply(variables, points, onehot,
+                                         train=False)
+            ps = part_start[cat]
+            pc = part_count[cat]
+            pred = M.masked_part_argmax(log_probs, ps, pc)
+            ious = M.shape_ious(pred, target, ps, pc, max_parts)
+            return {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(pred == target),
+                "count": target.size,
+                "ious": ious,
+                "cats": cat,
+            }
+        if task == "semseg":
+            target = batch[1]
+            log_probs, aux = model.apply(variables, points, train=False)
+            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
+            return {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(pred == target),
+                "count": target.size,
+                "cm": M.confusion_matrix(pred, target, num_classes),
+            }
+        raise ValueError(task)
+
+    return jax.jit(step)
+
+
+def make_vote_eval_step(model, num_votes: int = 3) -> Callable:
+    """Vote ensembling for classification eval (the lineage's test-time
+    trick): average probabilities over `num_votes` randomly Y-rotated
+    passes — fully on device, one jit."""
+
+    def step(state: TrainState, points, key):
+        variables = _split_variables(state)
+
+        def one_vote(i, acc):
+            k = jax.random.fold_in(key, i)
+            rotated = aug.rotate_point_cloud(k, points)
+            log_probs, _ = model.apply(variables, rotated, train=False)
+            return acc + jnp.exp(log_probs)
+
+        # vote 0 uses the unrotated cloud, like the reference protocol
+        log_probs0, _ = model.apply(variables, points, train=False)
+        probs = jax.lax.fori_loop(1, num_votes, one_vote,
+                                  jnp.exp(log_probs0))
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+    return jax.jit(step)

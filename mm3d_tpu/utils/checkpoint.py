@@ -1,0 +1,58 @@
+"""Orbax checkpointing: resumable full train state, best-metric retention.
+
+Replaces the lineage's `torch.save({'epoch', 'model_state_dict',
+'optimizer_state_dict', ...})`-on-best-eval (SURVEY.md §2.4/§5) with
+async Orbax saves of the complete train state (params, batch stats,
+optimizer state, step, PRNG key) plus a `best` pointer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over ocp.CheckpointManager for mm3d train states."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 best_metric: Optional[str] = None, best_mode: str = "max"):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=(lambda m: m[best_metric]) if best_metric else None,
+            best_mode=best_mode,
+            enable_async_checkpointing=True,
+        )
+        self._mngr = ocp.CheckpointManager(directory, options=opts)
+
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        self._mngr.save(
+            step, args=ocp.args.StandardSave(state),
+            metrics={k: float(v) for k, v in (metrics or {}).items()})
+
+    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of `state_template` (abstract ok)."""
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, state_template)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.close()

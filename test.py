@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Evaluation CLI (replaces the lineage's test_*.py scripts).
+
+Loads the latest/best checkpoint from a training run dir and evaluates,
+with optional vote ensembling for classification (--num_votes, the
+reference's rotated-passes-averaged protocol, SURVEY.md §3.5).
+"""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from mm3d_tpu.models import available
+from mm3d_tpu.training.loop import TrainConfig, Trainer
+from mm3d_tpu.training import steps
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mm3d_tpu evaluation")
+    p.add_argument("--model", default="pointnet2_cls_ssg",
+                   choices=sorted(available()))
+    p.add_argument("--log_dir", required=True,
+                   help="run dir created by train.py (contains checkpoints/)")
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--npoint", type=int, default=None)
+    p.add_argument("--normal", action="store_true")
+    p.add_argument("--num_class", type=int, default=40)
+    p.add_argument("--num_votes", type=int, default=1)
+    p.add_argument("--test_size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    from mm3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from mm3d_tpu.models import get_model
+    spec = get_model(a.model)
+    cfg = TrainConfig(
+        model=a.model, batch_size=a.batch_size,
+        npoint=a.npoint or spec.default_npoint, normal_channel=a.normal,
+        num_class=a.num_class, seed=a.seed, test_size=a.test_size,
+        log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False)
+    trainer = Trainer(cfg)
+    # restore from the given run dir
+    from mm3d_tpu.utils.checkpoint import CheckpointManager
+    ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"))
+    step = ckpt.best_step() or ckpt.latest_step()
+    trainer.state = ckpt.restore(trainer.state, step)
+    trainer.log.info("restored checkpoint step %s from %s", step, a.log_dir)
+
+    result = trainer.evaluate()
+    if a.num_votes > 1 and trainer.task == "classification":
+        vote = steps.make_vote_eval_step(trainer.model, a.num_votes)
+        correct = total = 0
+        key = jax.random.PRNGKey(a.seed)
+        for i, (pts, label) in enumerate(trainer.test_pipe.epoch(0)):
+            pred = vote(trainer.state, pts, jax.random.fold_in(key, i))
+            correct += int(np.sum(np.asarray(pred) == np.asarray(label)))
+            total += int(label.size)
+        result["vote_instance_acc"] = correct / max(total, 1)
+    trainer.log.info("eval: %s", result)
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""End-to-end training smoke: 2 epochs on tiny synthetic data (CPU, fake
+8-device mesh from conftest), checkpoint/resume roundtrip, schedules.
+SURVEY.md §4.3/§4.4."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mm3d_tpu.training import schedules
+from mm3d_tpu.training.loop import TrainConfig, Trainer
+
+
+def _tiny_cfg(tmp_path, model, **kw):
+    base = dict(model=model, epochs=2, batch_size=8, npoint=64,
+                train_size=32, test_size=16, log_dir=str(tmp_path),
+                log_every=1, checkpoint=False, num_class=4)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_schedules():
+    assert schedules.step_lr(1e-3, 0) == 1e-3
+    assert schedules.step_lr(1e-3, 20) == pytest.approx(7e-4)
+    assert schedules.step_lr(1e-3, 1000) == 1e-5  # clamped
+    assert schedules.bn_momentum_schedule(0) == 0.1
+    assert schedules.bn_momentum_schedule(20) == 0.05
+    assert schedules.bn_momentum_schedule(1000) == 0.01  # floored
+
+
+def test_classification_train_smoke(tmp_path):
+    cfg = _tiny_cfg(tmp_path, "pointnet_cls")
+    tr = Trainer(cfg)
+    result = tr.fit()
+    assert "instance_acc" in result and 0.0 <= result["instance_acc"] <= 1.0
+    assert np.isfinite(result["eval_loss"])
+    # loss actually trains: one more epoch reduces loss vs epoch0 is flaky
+    # at this size; instead check metrics jsonl exists and has entries
+    mfile = os.path.join(tr.run_dir, "logs", "metrics.jsonl")
+    assert os.path.exists(mfile) and len(open(mfile).readlines()) >= 4
+
+
+def test_pointnet2_trains_and_learns(tmp_path):
+    # pointnet2 ssg on 4 easy classes should beat chance quickly.
+    # bn momentum 0.5: running var starts at 1.0 and the true activation
+    # variance is ~1e-3, so the default 0.1 momentum needs ~100+ steps to
+    # converge before eval mode is meaningful (torch-identical behavior).
+    cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=4,
+                    train_size=64, test_size=32, batch_size=8,
+                    bn_init_momentum=0.5, augmentations=())
+    tr = Trainer(cfg)
+    result = tr.fit()
+    assert result["best_instance_acc"] > 0.28  # chance = 0.25
+
+
+def test_partseg_train_smoke(tmp_path):
+    cfg = _tiny_cfg(tmp_path, "pointnet2_part_seg_ssg", npoint=128,
+                    batch_size=4, train_size=16, test_size=8)
+    tr = Trainer(cfg)
+    result = tr.fit()
+    assert "instance_miou" in result and "class_miou" in result
+    assert 0.0 <= result["instance_miou"] <= 1.0
+
+
+def test_semseg_train_smoke(tmp_path):
+    cfg = _tiny_cfg(tmp_path, "pointnet2_sem_seg", npoint=256,
+                    batch_size=4, train_size=16, test_size=8)
+    tr = Trainer(cfg)
+    result = tr.fit()
+    assert "miou" in result and 0.0 <= result["miou"] <= 1.0
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    cfg = _tiny_cfg(tmp_path, "pointnet_cls", checkpoint=True,
+                    run_name="ckpt_run")
+    tr = Trainer(cfg)
+    tr.fit()
+    step_before = int(tr.state.step)
+    params_before = tr.state.params
+    # new trainer resumes from the same run dir
+    cfg2 = _tiny_cfg(tmp_path, "pointnet_cls", checkpoint=True,
+                     run_name="ckpt_run", resume=True)
+    tr2 = Trainer(cfg2)
+    assert int(tr2.state.step) == step_before
+    import jax
+    a = jax.tree_util.tree_leaves(params_before)
+    b = jax.tree_util.tree_leaves(tr2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_cli(tmp_path):
+    import train as train_cli
+    result = train_cli.main([
+        "--model", "pointnet_cls", "--epoch", "1", "--batch_size", "8",
+        "--npoint", "64", "--num_class", "4", "--train_size", "16",
+        "--test_size", "8", "--log_dir", str(tmp_path), "--no_checkpoint"])
+    assert "instance_acc" in result

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Unified training CLI (replaces the lineage's per-task train_*.py trio).
+
+Examples:
+  python train.py --model pointnet2_cls_ssg --epoch 10 --batch_size 24
+  python train.py --model pointnet2_part_seg_msg --npoint 2048 --epoch 5
+  python train.py --model pointnet2_sem_seg --npoint 4096 --epoch 5
+
+Flags mirror the reference scripts (SURVEY.md §1 L3: --model, --batch_size,
+--epoch, --learning_rate, --npoint, --log_dir, ...); the task is inferred
+from the model registry.
+"""
+
+import argparse
+
+from mm3d_tpu.models import available
+from mm3d_tpu.training.loop import TrainConfig, Trainer
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="mm3d_tpu training")
+    p.add_argument("--model", default="pointnet2_cls_ssg",
+                   choices=sorted(available()))
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--epoch", type=int, default=10)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--npoint", type=int, default=None,
+                   help="points per cloud (default: model's canonical)")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    p.add_argument("--decay_rate", type=float, default=1e-4,
+                   help="weight decay")
+    p.add_argument("--lr_step", type=int, default=20)
+    p.add_argument("--lr_gamma", type=float, default=0.7)
+    p.add_argument("--normal", action="store_true",
+                   help="use normals as extra channels")
+    p.add_argument("--num_class", type=int, default=40)
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--run_name", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_size", type=int, default=512)
+    p.add_argument("--test_size", type=int, default=128)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no_checkpoint", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    from mm3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from mm3d_tpu.models import get_model
+    spec = get_model(a.model)
+    cfg = TrainConfig(
+        model=a.model, epochs=a.epoch, batch_size=a.batch_size,
+        npoint=a.npoint or spec.default_npoint,
+        learning_rate=a.learning_rate, optimizer=a.optimizer,
+        weight_decay=a.decay_rate, lr_step=a.lr_step, lr_gamma=a.lr_gamma,
+        normal_channel=a.normal, num_class=a.num_class, seed=a.seed,
+        log_dir=a.log_dir, run_name=a.run_name, train_size=a.train_size,
+        test_size=a.test_size, resume=a.resume,
+        checkpoint=not a.no_checkpoint)
+    trainer = Trainer(cfg)
+    result = trainer.fit()
+    trainer.log.info("final: %s", result)
+    return result
+
+
+if __name__ == "__main__":
+    main()
