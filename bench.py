@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""North-star benchmark (BASELINE.json:2): clouds/sec/chip for 1024-pt
+multimodal PointNet++ inference (config 4: point trunk + image CNN +
+late fusion) on one TPU chip.
+
+Methodology: on this host the TPU is reached through a tunnel whose
+`block_until_ready` returns before remote execution finishes, so naive
+timing overcounts throughput by >100x.  We instead time a dependent
+`lax.fori_loop` chain (iteration i+1 consumes iteration i's output) at
+two chain lengths and take the slope — fixed overhead (dispatch, H2D,
+fetch) cancels, leaving the true per-forward latency.
+
+vs_baseline is the speedup over the measured reference CPU throughput
+(torch eval-mode oracle on this host, BASELINE.md: 5.73 clouds/s).
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+# Measured via oracle/torch_models.FusionCls, torch CPU (1 thread),
+# batch 8 x 1024 pts x 64x64 image, eval mode — see BASELINE.md.
+CPU_BASELINE_CLOUDS_PER_S = 5.73
+
+BATCH = 64
+NPOINT = 1024
+IMAGE_HW = (64, 64)
+K1, K2 = 5, 25
+
+
+def main():
+    from mm3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm3d_tpu.models import get_model
+
+    spec = get_model("fusion_cls")
+    model = spec.builder(num_class=40)
+
+    def mkbatch(seed):
+        r = np.random.RandomState(seed)
+        return (jnp.asarray(r.randn(BATCH, NPOINT, 3).astype(np.float32)),
+                jnp.asarray(r.rand(BATCH, *IMAGE_HW, 3).astype(np.float32)),
+                jnp.asarray(np.broadcast_to(
+                    np.eye(3, dtype=np.float32) * 32, (BATCH, 3, 3)).copy()),
+                jnp.asarray(np.broadcast_to(
+                    np.eye(3, dtype=np.float32), (BATCH, 3, 3)).copy()),
+                jnp.asarray(np.tile(np.array([0, 0, 3], np.float32),
+                                    (BATCH, 1))))
+
+    b0, b1 = mkbatch(0), mkbatch(1)
+    variables = jax.jit(
+        lambda *a: model.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              *a, train=True))(*b0)
+
+    @jax.jit
+    def chained(v, pts, img, K, R, t, n_loops):
+        def body(i, p):
+            log_probs, _ = model.apply(v, p, img, K, R, t, train=False)
+            return p + 1e-6 * jnp.mean(log_probs)  # serialize iterations
+        return jax.lax.fori_loop(0, n_loops, body, pts)
+
+    def run(k, batch):
+        out = chained(variables, *batch, k)
+        np.asarray(out)  # real fetch = real completion
+
+    run(K1, b0)  # warm both trace shapes (n_loops is traced, same graph)
+    run(K2, b0)
+
+    t0 = time.perf_counter(); run(K1, b1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(K2, b1); t2 = time.perf_counter() - t0
+    per_fwd = (t2 - t1) / (K2 - K1)
+
+    clouds_per_s = BATCH / per_fwd
+    print(json.dumps({
+        "metric": "clouds/sec/chip (1024-pt multimodal PointNet++ fusion inference)",
+        "value": round(clouds_per_s, 1),
+        "unit": "clouds/s",
+        "vs_baseline": round(clouds_per_s / CPU_BASELINE_CLOUDS_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,369 @@
+"""Torch-CPU oracle models (eval-mode) mirroring the mm3d_tpu architectures.
+
+Purpose (SURVEY.md §4.1, BASELINE.json:5 quality gate):
+1. logits parity — flax params are transferred in and eval-mode
+   log-probabilities must match within fp32 tolerance;
+2. the "reference CPU throughput" denominator of the 10x target —
+   canonical PointNet++ (+ image fusion) inference on this host's CPU.
+
+Eval-mode only: BatchNorm uses provided running stats, dropout is
+identity — exactly the reference's test-time behavior (test_*.py eval
+loops, SURVEY.md §3.5).  Structure matches mm3d_tpu/models/* 1:1 so
+parameters map name-by-name; geometry ops come from oracle.torch_ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from oracle import torch_ops as tops
+
+
+class EvalBN(nn.Module):
+    """BatchNorm over the last axis with fixed running stats (eval only)."""
+
+    def __init__(self, features: int, eps: float = 1e-5):
+        super().__init__()
+        self.register_buffer("mean", torch.zeros(features))
+        self.register_buffer("var", torch.ones(features))
+        self.scale = nn.Parameter(torch.ones(features))
+        self.bias = nn.Parameter(torch.zeros(features))
+        self.eps = eps
+
+    def forward(self, x):
+        return (x - self.mean) * torch.rsqrt(self.var + self.eps) \
+            * self.scale + self.bias
+
+
+class SharedMLP(nn.Module):
+    def __init__(self, in_features: int, features, last_activation=True):
+        super().__init__()
+        self.last_activation = last_activation
+        layers = []
+        bns = []
+        for f in features:
+            layers.append(nn.Linear(in_features, f))
+            bns.append(EvalBN(f))
+            in_features = f
+        self.dense = nn.ModuleList(layers)
+        self.bn = nn.ModuleList(bns)
+        self.out_features = in_features
+
+    def forward(self, x):
+        n = len(self.dense)
+        for i, (d, b) in enumerate(zip(self.dense, self.bn)):
+            x = b(d(x))
+            if self.last_activation or i + 1 < n:
+                x = F.relu(x)
+        return x
+
+
+class STN(nn.Module):
+    def __init__(self, in_channels: int, k: int):
+        super().__init__()
+        self.k = k
+        self.mlp = SharedMLP(in_channels, [64, 128, 1024])
+        self.fc0 = nn.Linear(1024, 512)
+        self.fcbn0 = EvalBN(512)
+        self.fc1 = nn.Linear(512, 256)
+        self.fcbn1 = EvalBN(256)
+        self.fc_out = nn.Linear(256, k * k)
+
+    def forward(self, x):
+        h = self.mlp(x).max(dim=1)[0]
+        h = F.relu(self.fcbn0(self.fc0(h)))
+        h = F.relu(self.fcbn1(self.fc1(h)))
+        mat = self.fc_out(h).view(-1, self.k, self.k)
+        return mat + torch.eye(self.k)
+
+
+class PointNetEncoder(nn.Module):
+    def __init__(self, global_feat=True, feature_transform=False, channel=3):
+        super().__init__()
+        self.global_feat = global_feat
+        self.feature_transform = feature_transform
+        self.stn = STN(channel, 3)
+        self.mlp1 = SharedMLP(channel, [64])
+        if feature_transform:
+            self.fstn = STN(64, 64)
+        self.mlp2 = SharedMLP(64, [128])
+        self.conv3 = nn.Linear(128, 1024)
+        self.bn3 = EvalBN(1024)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        trans = self.stn(x)
+        xyz = torch.bmm(x[..., :3], trans)
+        x = torch.cat([xyz, x[..., 3:]], -1) if C > 3 else xyz
+        x = self.mlp1(x)
+        trans_feat = None
+        if self.feature_transform:
+            trans_feat = self.fstn(x)
+            x = torch.bmm(x, trans_feat)
+        point_feat = x
+        x = self.bn3(self.conv3(self.mlp2(x)))
+        gf = x.max(dim=1)[0]
+        if self.global_feat:
+            return gf, trans, trans_feat
+        tiled = gf.unsqueeze(1).expand(B, N, 1024)
+        return torch.cat([point_feat, tiled], -1), trans, trans_feat
+
+
+class PointNetCls(nn.Module):
+    def __init__(self, num_class=40, normal_channel=False):
+        super().__init__()
+        channel = 6 if normal_channel else 3
+        self.channel = channel
+        self.feat = PointNetEncoder(True, True, channel)
+        self.fc1 = nn.Linear(1024, 512)
+        self.bn1 = EvalBN(512)
+        self.fc2 = nn.Linear(512, 256)
+        self.bn2 = EvalBN(256)
+        self.fc3 = nn.Linear(256, num_class)
+
+    def forward(self, points):
+        f, trans, trans_feat = self.feat(points[..., :self.channel])
+        h = F.relu(self.bn1(self.fc1(f)))
+        h = F.relu(self.bn2(self.fc2(h)))  # dropout = identity in eval
+        return F.log_softmax(self.fc3(h), dim=-1), trans_feat
+
+
+class SetAbstraction(nn.Module):
+    def __init__(self, npoint, radius, nsample, in_channels, mlp,
+                 group_all=False):
+        super().__init__()
+        self.npoint, self.radius, self.nsample = npoint, radius, nsample
+        self.group_all = group_all
+        self.mlp = SharedMLP(in_channels, mlp)
+
+    def forward(self, xyz, feats):
+        if self.group_all:
+            new_xyz, grouped = tops.sample_and_group_all(xyz, feats)
+        else:
+            new_xyz, grouped = tops.sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, feats)
+        return new_xyz, self.mlp(grouped).max(dim=2)[0]
+
+
+class SetAbstractionMsg(nn.Module):
+    def __init__(self, npoint, radius_list, nsample_list, in_channels,
+                 mlp_list):
+        super().__init__()
+        self.npoint = npoint
+        self.radius_list = radius_list
+        self.nsample_list = nsample_list
+        self.mlps = nn.ModuleList(
+            [SharedMLP(in_channels + 3, m) for m in mlp_list])
+
+    def forward(self, xyz, feats):
+        fps_idx = tops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = tops.index_points(xyz, fps_idx)
+        outs = []
+        for i, (r, k) in enumerate(zip(self.radius_list, self.nsample_list)):
+            idx = tops.query_ball_point(r, k, xyz, new_xyz)
+            grouped_xyz = tops.index_points(xyz, idx) - new_xyz.unsqueeze(2)
+            if feats is not None:
+                grouped = torch.cat(
+                    [grouped_xyz, tops.index_points(feats, idx)], -1)
+            else:
+                grouped = grouped_xyz
+            outs.append(self.mlps[i](grouped).max(dim=2)[0])
+        return new_xyz, torch.cat(outs, -1)
+
+
+class FeaturePropagation(nn.Module):
+    def __init__(self, in_channels, mlp):
+        super().__init__()
+        self.mlp = SharedMLP(in_channels, mlp)
+
+    def forward(self, xyz1, xyz2, feats1, feats2):
+        B, N, _ = xyz1.shape
+        M = xyz2.shape[1]
+        if M == 1:
+            interpolated = feats2.expand(B, N, feats2.shape[-1])
+        else:
+            dists, idx = tops.three_nn(xyz1, xyz2)
+            weight = tops.interpolation_weights(dists)
+            interpolated = tops.three_interpolate(feats2, idx, weight)
+        if feats1 is not None:
+            interpolated = torch.cat([feats1, interpolated], -1)
+        return self.mlp(interpolated)
+
+
+class PointNet2ClsSSG(nn.Module):
+    def __init__(self, num_class=40, normal_channel=False):
+        super().__init__()
+        self.normal_channel = normal_channel
+        in0 = 3 + (3 if normal_channel else 0)
+        self.sa1 = SetAbstraction(512, 0.2, 32, in0 + 0, [64, 64, 128])
+        self.sa2 = SetAbstraction(128, 0.4, 64, 128 + 3, [128, 128, 256])
+        self.sa3 = SetAbstraction(None, None, None, 256 + 3,
+                                  [256, 512, 1024], group_all=True)
+        self.fc1 = nn.Linear(1024, 512)
+        self.bn1 = EvalBN(512)
+        self.fc2 = nn.Linear(512, 256)
+        self.bn2 = EvalBN(256)
+        self.fc3 = nn.Linear(256, num_class)
+
+    def forward(self, points):
+        xyz = points[..., :3]
+        feats = points[..., 3:6] if self.normal_channel else None
+        xyz, f = self.sa1(xyz, feats)
+        xyz, f = self.sa2(xyz, f)
+        _, f = self.sa3(xyz, f)
+        h = f[:, 0]
+        h = F.relu(self.bn1(self.fc1(h)))
+        h = F.relu(self.bn2(self.fc2(h)))
+        return F.log_softmax(self.fc3(h), dim=-1), None
+
+
+class BasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout).eval()
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout).eval()
+        self.proj = None
+        if cin != cout or stride != 1:
+            self.proj = nn.Conv2d(cin, cout, 1, stride, bias=False)
+            self.bn_proj = nn.BatchNorm2d(cout).eval()
+
+    def forward(self, x):
+        r = x if self.proj is None else self.bn_proj(self.proj(x))
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + r)
+
+
+class ImageEncoder(nn.Module):
+    """NCHW twin of mm3d_tpu.models.image.ImageEncoder."""
+
+    def __init__(self, stage_features=(32, 64, 128), blocks_per_stage=2,
+                 global_features=512):
+        super().__init__()
+        self.stem = nn.Conv2d(3, stage_features[0], 3, 1, 1, bias=False)
+        self.stem_bn = nn.BatchNorm2d(stage_features[0]).eval()
+        blocks = []
+        cin = stage_features[0]
+        for s, f in enumerate(stage_features):
+            stride = 1 if s == 0 else 2
+            blocks.append(BasicBlock(cin, f, stride))
+            for _ in range(1, blocks_per_stage):
+                blocks.append(BasicBlock(f, f, 1))
+            cin = f
+        self.blocks = nn.Sequential(*blocks)
+        self.fc_glob = nn.Linear(stage_features[-1], global_features)
+
+    def forward(self, img_nhwc):
+        x = img_nhwc.permute(0, 3, 1, 2)
+        x = F.relu(self.stem_bn(self.stem(x)))
+        fmap = self.blocks(x)
+        gap = fmap.mean(dim=(2, 3))
+        return fmap, F.relu(self.fc_glob(gap))
+
+
+class FusionCls(nn.Module):
+    """Late-fusion multimodal classifier (config 4 oracle)."""
+
+    def __init__(self, num_class=40):
+        super().__init__()
+        in0 = 3
+        self.sa1 = SetAbstraction(512, 0.2, 32, in0, [64, 64, 128])
+        self.sa2 = SetAbstraction(128, 0.4, 64, 128 + 3, [128, 128, 256])
+        self.sa3 = SetAbstraction(None, None, None, 256 + 3,
+                                  [256, 512, 1024], group_all=True)
+        self.image = ImageEncoder()
+        self.fc1 = nn.Linear(1024 + 512, 512)
+        self.bn1 = EvalBN(512)
+        self.fc2 = nn.Linear(512, 256)
+        self.bn2 = EvalBN(256)
+        self.fc3 = nn.Linear(256, num_class)
+
+    def forward(self, points, image, K=None, R=None, t=None):
+        xyz = points[..., :3]
+        xyz, f = self.sa1(xyz, None)
+        xyz, f = self.sa2(xyz, f)
+        _, f = self.sa3(xyz, f)
+        pf = f[:, 0]
+        _, imgf = self.image(image)
+        h = torch.cat([pf, imgf], -1)
+        h = F.relu(self.bn1(self.fc1(h)))
+        h = F.relu(self.bn2(self.fc2(h)))
+        return F.log_softmax(self.fc3(h), dim=-1), None
+
+
+# ------------------------------------------------------- weight transfer
+
+
+def _t(a):
+    return torch.from_numpy(np.array(a, copy=True))
+
+
+def load_shared_mlp(dst: SharedMLP, params, stats):
+    for i in range(len(dst.dense)):
+        d = params[f"dense_{i}"]
+        dst.dense[i].weight.data = _t(d["kernel"]).T.contiguous()
+        dst.dense[i].bias.data = _t(d["bias"])
+        b = params[f"bn_{i}"]
+        dst.bn[i].scale.data = _t(b["scale"])
+        dst.bn[i].bias.data = _t(b["bias"])
+        s = stats[f"bn_{i}"]
+        dst.bn[i].mean = _t(s["mean"])
+        dst.bn[i].var = _t(s["var"])
+
+
+def load_stn(dst: STN, params, stats):
+    load_shared_mlp(dst.mlp, params["mlp"], stats["mlp"])
+    for i, (fc, bn) in enumerate([(dst.fc0, dst.fcbn0), (dst.fc1, dst.fcbn1)]):
+        fc.weight.data = _t(params[f"fc_{i}"]["kernel"]).T.contiguous()
+        fc.bias.data = _t(params[f"fc_{i}"]["bias"])
+        bn.scale.data = _t(params[f"fcbn_{i}"]["scale"])
+        bn.bias.data = _t(params[f"fcbn_{i}"]["bias"])
+        bn.mean = _t(stats[f"fcbn_{i}"]["mean"])
+        bn.var = _t(stats[f"fcbn_{i}"]["var"])
+    dst.fc_out.weight.data = _t(params["fc_out"]["kernel"]).T.contiguous()
+    dst.fc_out.bias.data = _t(params["fc_out"]["bias"])
+
+
+def _load_fc_bn(fc, bn, params, stats, fc_name, bn_name):
+    fc.weight.data = _t(params[fc_name]["kernel"]).T.contiguous()
+    fc.bias.data = _t(params[fc_name]["bias"])
+    bn.scale.data = _t(params[bn_name]["scale"])
+    bn.bias.data = _t(params[bn_name]["bias"])
+    bn.mean = _t(stats[bn_name]["mean"])
+    bn.var = _t(stats[bn_name]["var"])
+
+
+def load_pointnet_cls(dst: PointNetCls, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    fp, fs = p["feat"], s["feat"]
+    load_stn(dst.feat.stn, fp["stn"], fs["stn"])
+    load_stn(dst.feat.fstn, fp["fstn"], fs["fstn"])
+    load_shared_mlp(dst.feat.mlp1, fp["mlp1"], fs["mlp1"])
+    load_shared_mlp(dst.feat.mlp2, fp["mlp2"], fs["mlp2"])
+    dst.feat.conv3.weight.data = _t(fp["conv3"]["kernel"]).T.contiguous()
+    dst.feat.conv3.bias.data = _t(fp["conv3"]["bias"])
+    dst.feat.bn3.scale.data = _t(fp["bn3"]["scale"])
+    dst.feat.bn3.bias.data = _t(fp["bn3"]["bias"])
+    dst.feat.bn3.mean = _t(fs["bn3"]["mean"])
+    dst.feat.bn3.var = _t(fs["bn3"]["var"])
+    _load_fc_bn(dst.fc1, dst.bn1, p, s, "fc1", "bn1")
+    _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
+    dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
+    dst.fc3.bias.data = _t(p["fc3"]["bias"])
+
+
+def load_pointnet2_cls_ssg(dst: PointNet2ClsSSG, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    for name, sa in (("sa1", dst.sa1), ("sa2", dst.sa2), ("sa3", dst.sa3)):
+        load_shared_mlp(sa.mlp, p[name]["mlp"], s[name]["mlp"])
+    _load_fc_bn(dst.fc1, dst.bn1, p, s, "fc1", "bn1")
+    _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
+    dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
+    dst.fc3.bias.data = _t(p["fc3"]["bias"])

@@ -1,0 +1,57 @@
+"""Quality gate (BASELINE.json:5): eval-mode log-probabilities of the JAX
+models match the torch-CPU oracle within fp32 tolerance after weight
+transfer — including through FPS/ball-query (index-level) paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mm3d_tpu.models import get_model
+from oracle import torch_models as tm
+
+
+def _trained_variables(model, args, nsteps=3):
+    """Init + a few train-mode passes so BN stats are non-trivial."""
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, *args, train=True)
+    params, bs = v["params"], v["batch_stats"]
+    for i in range(nsteps):
+        _, mut = model.apply({"params": params, "batch_stats": bs}, *args,
+                             train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2 + i)},
+                             mutable=["batch_stats"])
+        bs = mut["batch_stats"]
+    return {"params": params, "batch_stats": bs}
+
+
+def test_pointnet_cls_logits_match_torch():
+    spec = get_model("pointnet_cls")
+    model = spec.builder(num_class=7)
+    pts = jnp.asarray(np.random.RandomState(0).randn(2, 128, 3).astype(np.float32))
+    variables = _trained_variables(model, (pts,))
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, train=False)
+
+    oracle = tm.PointNetCls(num_class=7).eval()
+    tm.load_pointnet_cls(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)))
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_pointnet2_cls_ssg_logits_match_torch():
+    spec = get_model("pointnet2_cls_ssg")
+    model = spec.builder(num_class=5)
+    pts = jnp.asarray(np.random.RandomState(1).randn(2, 256, 3).astype(np.float32))
+    variables = _trained_variables(model, (pts,))
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, train=False)
+
+    oracle = tm.PointNet2ClsSSG(num_class=5).eval()
+    tm.load_pointnet2_cls_ssg(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)))
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
