@@ -27,25 +27,59 @@ from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
 
 
 class SetAbstraction(nn.Module):
-    """Single-scale grouping SA block: sample_and_group -> MLP -> max."""
+    """Single-scale grouping SA block: sample_and_group -> MLP -> max.
+
+    TPU optimization (`project_first`, on by default): the grouping
+    gather is linear, so the first shared-MLP layer commutes with it:
+
+        [g_xyz - c, g_feats] @ W0 + b0
+            = gather(concat[xyz, feats] @ W0) - c @ W0[:3] + b0
+
+    Projecting the N input points once and gathering C1-wide rows is
+    much faster on TPU than gathering 3-wide rows (lane utilization) and
+    replaces the S*K-row layer-0 matmul with an N-row one.  Numerically
+    identical up to fp32 reassociation.
+    """
 
     npoint: Optional[int] = None  # None with group_all=True
     radius: Optional[float] = None
     nsample: Optional[int] = None
     mlp: Sequence[int] = ()
     group_all: bool = False
+    project_first: bool = True
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
         # xyz [B,N,3], feats [B,N,D] or None
-        if self.group_all:
-            new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
-        else:
-            new_xyz, grouped = ops.sample_and_group(
-                self.npoint, self.radius, self.nsample, xyz, feats)
-        h = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
-        return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
+        if self.group_all or not self.project_first:
+            if self.group_all:
+                new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
+            else:
+                new_xyz, grouped = ops.sample_and_group(
+                    self.npoint, self.radius, self.nsample, xyz, feats)
+            h = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
+            return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
+
+        cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
+        c_in, c1 = cat.shape[-1], self.mlp[0]
+        kernel = self.param("proj_kernel", nn.initializers.lecun_normal(),
+                            (c_in, c1))
+        bias = self.param("proj_bias", nn.initializers.zeros, (c1,))
+        pre = cat @ kernel  # [B,N,C1]
+        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.index_points(xyz, fps_idx)
+        idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
+        gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
+        cterm = new_xyz @ kernel[:3]  # centroid recentering through W0
+        h = gathered - cterm[:, :, None, :] + bias
+        h = BatchNorm(name="proj_bn")(h, use_running_average=not train,
+                                      momentum=bn_momentum)
+        h = nn.relu(h)
+        if len(self.mlp) > 1:
+            h = SharedMLP(self.mlp[1:], name="mlp_rest")(h, train,
+                                                         bn_momentum)
+        return new_xyz, jnp.max(h, axis=2)
 
 
 class SetAbstractionMsg(nn.Module):
@@ -56,23 +90,43 @@ class SetAbstractionMsg(nn.Module):
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
+    project_first: bool = True  # see SetAbstraction docstring
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
+        cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
         outs = []
         for i, (r, k) in enumerate(zip(self.radius_list, self.nsample_list)):
             idx = ops.query_ball_point(r, k, xyz, new_xyz)
-            grouped_xyz = ops.index_points(xyz, idx) - new_xyz[:, :, None, :]
-            if feats is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, ops.index_points(feats, idx)], -1)
+            mlp = self.mlp_list[i]
+            if self.project_first:
+                kernel = self.param(f"proj_kernel_{i}",
+                                    nn.initializers.lecun_normal(),
+                                    (cat.shape[-1], mlp[0]))
+                bias = self.param(f"proj_bias_{i}", nn.initializers.zeros,
+                                  (mlp[0],))
+                gathered = ops.index_points(cat @ kernel, idx)
+                cterm = new_xyz @ kernel[:3]
+                h = gathered - cterm[:, :, None, :] + bias
+                h = BatchNorm(name=f"proj_bn_{i}")(
+                    h, use_running_average=not train, momentum=bn_momentum)
+                h = nn.relu(h)
+                if len(mlp) > 1:
+                    h = SharedMLP(mlp[1:], name=f"mlp_rest_{i}")(
+                        h, train, bn_momentum)
             else:
-                grouped = grouped_xyz
-            h = SharedMLP(self.mlp_list[i], name=f"mlp_{i}")(
-                grouped, train, bn_momentum)
+                grouped_xyz = (ops.index_points(xyz, idx)
+                               - new_xyz[:, :, None, :])
+                if feats is not None:
+                    grouped = jnp.concatenate(
+                        [grouped_xyz, ops.index_points(feats, idx)], -1)
+                else:
+                    grouped = grouped_xyz
+                h = SharedMLP(mlp, name=f"mlp_{i}")(grouped, train,
+                                                    bn_momentum)
             outs.append(jnp.max(h, axis=2))
         return new_xyz, jnp.concatenate(outs, -1)
 

@@ -359,10 +359,37 @@ def load_pointnet_cls(dst: PointNetCls, variables):
     dst.fc3.bias.data = _t(p["fc3"]["bias"])
 
 
+def load_sa(sa, params, stats):
+    """Load one SA block; handles both the plain and the project-first
+    (proj_kernel/proj_bn + mlp_rest) flax parameter layouts — the torch
+    oracle always computes the canonical group-then-MLP form."""
+    if "proj_kernel" not in params:
+        load_shared_mlp(sa.mlp, params["mlp"], stats["mlp"])
+        return
+    sa.mlp.dense[0].weight.data = _t(params["proj_kernel"]).T.contiguous()
+    sa.mlp.dense[0].bias.data = _t(params["proj_bias"])
+    sa.mlp.bn[0].scale.data = _t(params["proj_bn"]["scale"])
+    sa.mlp.bn[0].bias.data = _t(params["proj_bn"]["bias"])
+    sa.mlp.bn[0].mean = _t(stats["proj_bn"]["mean"])
+    sa.mlp.bn[0].var = _t(stats["proj_bn"]["var"])
+    if "mlp_rest" in params:
+        rest_p, rest_s = params["mlp_rest"], stats["mlp_rest"]
+        for i in range(len(sa.mlp.dense) - 1):
+            d = rest_p[f"dense_{i}"]
+            sa.mlp.dense[i + 1].weight.data = _t(d["kernel"]).T.contiguous()
+            sa.mlp.dense[i + 1].bias.data = _t(d["bias"])
+            b = rest_p[f"bn_{i}"]
+            sa.mlp.bn[i + 1].scale.data = _t(b["scale"])
+            sa.mlp.bn[i + 1].bias.data = _t(b["bias"])
+            st = rest_s[f"bn_{i}"]
+            sa.mlp.bn[i + 1].mean = _t(st["mean"])
+            sa.mlp.bn[i + 1].var = _t(st["var"])
+
+
 def load_pointnet2_cls_ssg(dst: PointNet2ClsSSG, variables):
     p, s = variables["params"], variables["batch_stats"]
     for name, sa in (("sa1", dst.sa1), ("sa2", dst.sa2), ("sa3", dst.sa3)):
-        load_shared_mlp(sa.mlp, p[name]["mlp"], s[name]["mlp"])
+        load_sa(sa, p[name], s[name])
     _load_fc_bn(dst.fc1, dst.bn1, p, s, "fc1", "bn1")
     _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
     dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
