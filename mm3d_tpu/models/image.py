@@ -22,24 +22,26 @@ from mm3d_tpu.models.layers import BatchNorm
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding="SAME", use_bias=False, name="conv1")(x)
-        y = BatchNorm(name="bn1")(y, use_running_average=not train,
+                    padding="SAME", use_bias=False, name="conv1",
+                    dtype=self.dtype)(x)
+        y = BatchNorm(name="bn1", dtype=self.dtype)(y, use_running_average=not train,
                                   momentum=bn_momentum)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    name="conv2")(y)
-        y = BatchNorm(name="bn2")(y, use_running_average=not train,
+                    name="conv2", dtype=self.dtype)(y)
+        y = BatchNorm(name="bn2", dtype=self.dtype)(y, use_running_average=not train,
                                   momentum=bn_momentum)
         if residual.shape[-1] != self.features or self.stride != 1:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="proj")(residual)
-            residual = BatchNorm(name="bn_proj")(
+                               name="proj", dtype=self.dtype)(residual)
+            residual = BatchNorm(name="bn_proj", dtype=self.dtype)(
                 residual, use_running_average=not train, momentum=bn_momentum)
         return nn.relu(y + residual)
 
@@ -50,23 +52,27 @@ class ImageEncoder(nn.Module):
     stage_features: Sequence[int] = (32, 64, 128)
     blocks_per_stage: int = 2
     global_features: int = 512
+    dtype: object = None
 
     @nn.compact
     def __call__(self, img, train: bool = True, bn_momentum: float = 0.1):
         x = nn.Conv(self.stage_features[0], (3, 3), padding="SAME",
-                    use_bias=False, name="stem")(img)
-        x = BatchNorm(name="stem_bn")(x, use_running_average=not train,
+                    use_bias=False, name="stem", dtype=self.dtype)(img)
+        x = BatchNorm(name="stem_bn", dtype=self.dtype)(x, use_running_average=not train,
                                       momentum=bn_momentum)
         x = nn.relu(x)
         fmap = None
         for s, feats in enumerate(self.stage_features):
             stride = 1 if s == 0 else 2
-            x = BasicBlock(feats, stride, name=f"s{s}b0")(x, train, bn_momentum)
+            x = BasicBlock(feats, stride, name=f"s{s}b0",
+                           dtype=self.dtype)(x, train, bn_momentum)
             for b in range(1, self.blocks_per_stage):
-                x = BasicBlock(feats, 1, name=f"s{s}b{b}")(x, train, bn_momentum)
+                x = BasicBlock(feats, 1, name=f"s{s}b{b}",
+                               dtype=self.dtype)(x, train, bn_momentum)
             if s == len(self.stage_features) - 1:
                 fmap = x  # stride 4 wrt input (two stride-2 stages)
         gap = jnp.mean(fmap, axis=(1, 2))
-        glob = nn.Dense(self.global_features, name="fc_glob")(gap)
+        glob = nn.Dense(self.global_features, name="fc_glob",
+                        dtype=self.dtype)(gap)
         glob = nn.relu(glob)
         return fmap, glob

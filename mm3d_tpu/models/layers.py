@@ -32,6 +32,7 @@ class BatchNorm(nn.Module):
 
     use_running_average: Optional[bool] = None
     eps: float = 1e-5
+    dtype: Optional[object] = None  # compute dtype (e.g. bf16 inference)
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None,
@@ -61,6 +62,12 @@ class BatchNorm(nn.Module):
                 ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
                 ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
         inv = jax.lax.rsqrt(var + self.eps)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            mean = mean.astype(self.dtype)
+            inv = inv.astype(self.dtype)
+            scale = scale.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         return (x - mean) * inv * scale + bias
 
 
@@ -74,12 +81,13 @@ class SharedMLP(nn.Module):
 
     features: Sequence[int]
     last_activation: bool = True
+    dtype: Optional[object] = None  # compute dtype (e.g. bf16 inference)
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
-            x = BatchNorm(name=f"bn_{i}")(
+            x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
+            x = BatchNorm(name=f"bn_{i}", dtype=self.dtype)(
                 x, use_running_average=not train, momentum=bn_momentum)
             if self.last_activation or i + 1 < len(self.features):
                 x = nn.relu(x)

@@ -47,6 +47,7 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int] = ()
     group_all: bool = False
     project_first: bool = True
+    dtype: Optional[object] = None  # compute dtype for the MLP stack
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
@@ -58,7 +59,8 @@ class SetAbstraction(nn.Module):
             else:
                 new_xyz, grouped = ops.sample_and_group(
                     self.npoint, self.radius, self.nsample, xyz, feats)
-            h = SharedMLP(self.mlp, name="mlp")(grouped, train, bn_momentum)
+            h = SharedMLP(self.mlp, name="mlp", dtype=self.dtype)(
+                grouped, train, bn_momentum)
             return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
 
         cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
@@ -66,19 +68,23 @@ class SetAbstraction(nn.Module):
         kernel = self.param("proj_kernel", nn.initializers.lecun_normal(),
                             (c_in, c1))
         bias = self.param("proj_bias", nn.initializers.zeros, (c1,))
+        if self.dtype is not None:
+            cat = cat.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
         pre = cat @ kernel  # [B,N,C1]
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
         idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
         gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
-        cterm = new_xyz @ kernel[:3]  # centroid recentering through W0
+        cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
         h = gathered - cterm[:, :, None, :] + bias
-        h = BatchNorm(name="proj_bn")(h, use_running_average=not train,
-                                      momentum=bn_momentum)
+        h = BatchNorm(name="proj_bn", dtype=self.dtype)(
+            h, use_running_average=not train, momentum=bn_momentum)
         h = nn.relu(h)
         if len(self.mlp) > 1:
-            h = SharedMLP(self.mlp[1:], name="mlp_rest")(h, train,
-                                                         bn_momentum)
+            h = SharedMLP(self.mlp[1:], name="mlp_rest",
+                          dtype=self.dtype)(h, train, bn_momentum)
         return new_xyz, jnp.max(h, axis=2)
 
 
@@ -91,6 +97,7 @@ class SetAbstractionMsg(nn.Module):
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
     project_first: bool = True  # see SetAbstraction docstring
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
@@ -108,15 +115,20 @@ class SetAbstractionMsg(nn.Module):
                                     (cat.shape[-1], mlp[0]))
                 bias = self.param(f"proj_bias_{i}", nn.initializers.zeros,
                                   (mlp[0],))
-                gathered = ops.index_points(cat @ kernel, idx)
-                cterm = new_xyz @ kernel[:3]
-                h = gathered - cterm[:, :, None, :] + bias
-                h = BatchNorm(name=f"proj_bn_{i}")(
+                cati, kerneli, biasi = cat, kernel, bias
+                if self.dtype is not None:
+                    cati = cat.astype(self.dtype)
+                    kerneli = kernel.astype(self.dtype)
+                    biasi = bias.astype(self.dtype)
+                gathered = ops.index_points(cati @ kerneli, idx)
+                cterm = new_xyz.astype(gathered.dtype) @ kerneli[:3]
+                h = gathered - cterm[:, :, None, :] + biasi
+                h = BatchNorm(name=f"proj_bn_{i}", dtype=self.dtype)(
                     h, use_running_average=not train, momentum=bn_momentum)
                 h = nn.relu(h)
                 if len(mlp) > 1:
-                    h = SharedMLP(mlp[1:], name=f"mlp_rest_{i}")(
-                        h, train, bn_momentum)
+                    h = SharedMLP(mlp[1:], name=f"mlp_rest_{i}",
+                                  dtype=self.dtype)(h, train, bn_momentum)
             else:
                 grouped_xyz = (ops.index_points(xyz, idx)
                                - new_xyz[:, :, None, :])
@@ -135,6 +147,7 @@ class FeaturePropagation(nn.Module):
     """FP decoder block: 3-NN inverse-distance upsample + skip + MLP."""
 
     mlp: Sequence[int]
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = True,
@@ -150,8 +163,9 @@ class FeaturePropagation(nn.Module):
             weight = ops.geometry.interpolation_weights(dists)
             interpolated = ops.three_interpolate(feats2, idx, weight)
         if feats1 is not None:
-            interpolated = jnp.concatenate([feats1, interpolated], -1)
-        return SharedMLP(self.mlp, name="mlp")(
+            interpolated = jnp.concatenate(
+                [feats1.astype(interpolated.dtype), interpolated], -1)
+        return SharedMLP(self.mlp, name="mlp", dtype=self.dtype)(
             interpolated, train, bn_momentum)
 
 
@@ -163,6 +177,7 @@ class PointNet2ClsSSG(nn.Module):
 
     num_class: int = 40
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 inference mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
@@ -170,21 +185,23 @@ class PointNet2ClsSSG(nn.Module):
         det = (not train) if deterministic is None else deterministic
         xyz = points[..., :3]
         feats = points[..., 3:6] if self.normal_channel else None
-        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1")(
-            xyz, feats, train, bn_momentum)
-        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2")(
-            xyz, f, train, bn_momentum)
+        xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1",
+                                dtype=self.dtype)(xyz, feats, train,
+                                                  bn_momentum)
+        xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2",
+                                dtype=self.dtype)(xyz, f, train, bn_momentum)
         _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                              name="sa3")(xyz, f, train, bn_momentum)
+                              name="sa3", dtype=self.dtype)(
+                                  xyz, f, train, bn_momentum)
         h = f[:, 0]  # [B,1024]
         for i, (w, p) in enumerate(((512, 0.4), (256, 0.4))):
-            h = nn.Dense(w, name=f"fc{i+1}")(h)
-            h = BatchNorm(name=f"bn{i+1}")(
+            h = nn.Dense(w, name=f"fc{i+1}", dtype=self.dtype)(h)
+            h = BatchNorm(name=f"bn{i+1}", dtype=self.dtype)(
                 h, use_running_average=not train, momentum=bn_momentum)
             h = nn.relu(h)
             h = nn.Dropout(p, deterministic=det, name=f"drop{i+1}")(h)
-        h = nn.Dense(self.num_class, name="fc3")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_class, name="fc3", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
 class PointNet2ClsMSG(nn.Module):

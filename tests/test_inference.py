@@ -1,0 +1,46 @@
+"""bf16 serving mode: prediction agreement with fp32 (quality gate for
+the bench's default dtype)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm3d_tpu.data import synthetic as syn
+from mm3d_tpu.models import get_model
+from mm3d_tpu.training import inference
+
+
+def _fusion_inputs(b=4, n=128, hw=(32, 32)):
+    r = np.random.RandomState(0)
+    return (jnp.asarray(r.randn(b, n, 3).astype(np.float32)),
+            jnp.asarray(r.rand(b, *hw, 3).astype(np.float32)),
+            jnp.asarray(np.stack([syn.default_intrinsics(hw)] * b)),
+            jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * b)),
+            jnp.asarray(np.tile(np.array([0, 0, 3], np.float32), (b, 1))))
+
+
+def test_bf16_predictor_agrees_with_f32():
+    spec = get_model("fusion_cls")
+    args = _fusion_inputs()
+    model = spec.builder(num_class=6)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *args, train=True)
+    p32 = inference.make_predictor("fusion_cls", variables, num_class=6)
+    pbf = inference.make_predictor("fusion_cls", variables,
+                                   dtype=jnp.bfloat16, num_class=6)
+    out = inference.agreement(p32, pbf, *args)
+    assert out["argmax_agreement"] >= 0.99
+    assert out["max_logp_delta"] < 0.05
+    # bf16 predictor still returns f32 log-probs
+    assert pbf(*args).dtype == jnp.float32
+
+
+def test_pointnet2_bf16_forward():
+    spec = get_model("pointnet2_cls_ssg")
+    model = spec.builder(num_class=5, dtype=jnp.bfloat16)
+    pts = jnp.asarray(np.random.RandomState(1).randn(2, 128, 3).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pts, train=True)
+    logp, _ = model.apply(v, pts, train=False)
+    assert logp.dtype == jnp.float32 and bool(jnp.isfinite(logp).all())
