@@ -144,10 +144,23 @@ class SetAbstractionMsg(nn.Module):
 
 
 class FeaturePropagation(nn.Module):
-    """FP decoder block: 3-NN inverse-distance upsample + skip + MLP."""
+    """FP decoder block: 3-NN inverse-distance upsample + skip + MLP.
+
+    TPU optimization (`project_first`, mirrors SetAbstraction): the
+    inverse-distance interpolation is linear, so the first MLP layer
+    commutes with it:
+
+        [skip, interp(f2)] @ W0 + b0
+            = skip @ W0_skip + interp(f2 @ W0_f2) + b0
+
+    The heavy layer-0 matmul runs on the M sparse points instead of the
+    N dense ones (M << N), and the skip branch's matmul is separate —
+    numerically identical up to fp32 reassociation.
+    """
 
     mlp: Sequence[int]
     dtype: Optional[object] = None
+    project_first: bool = True
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = True,
@@ -155,18 +168,51 @@ class FeaturePropagation(nn.Module):
         # xyz1 [B,N,3] dense targets; xyz2 [B,M,3] sparse sources
         B, N, _ = xyz1.shape
         M = xyz2.shape[1]
+
+        if not self.project_first:
+            if M == 1:
+                interpolated = jnp.broadcast_to(
+                    feats2, (B, N, feats2.shape[-1]))
+            else:
+                dists, idx = ops.three_nn(xyz1, xyz2)
+                weight = ops.geometry.interpolation_weights(dists)
+                interpolated = ops.three_interpolate(feats2, idx, weight)
+            if feats1 is not None:
+                interpolated = jnp.concatenate(
+                    [feats1.astype(interpolated.dtype), interpolated], -1)
+            return SharedMLP(self.mlp, name="mlp", dtype=self.dtype)(
+                interpolated, train, bn_momentum)
+
+        c1 = self.mlp[0]
+        c2 = feats2.shape[-1]
+        k2 = self.param("proj_kernel", nn.initializers.lecun_normal(),
+                        (c2 + (feats1.shape[-1] if feats1 is not None else 0),
+                         c1))
+        bias = self.param("proj_bias", nn.initializers.zeros, (c1,))
+        if self.dtype is not None:
+            feats2 = feats2.astype(self.dtype)
+            k2 = k2.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        # rows of W0: [skip channels; interpolated channels]
+        k_skip, k_interp = k2[:-c2], k2[-c2:]
+        pre = feats2 @ k_interp  # [B,M,C1] — on the sparse set
         if M == 1:
-            interpolated = jnp.broadcast_to(
-                feats2, (B, N, feats2.shape[-1]))
+            h = jnp.broadcast_to(pre, (B, N, c1))
         else:
             dists, idx = ops.three_nn(xyz1, xyz2)
             weight = ops.geometry.interpolation_weights(dists)
-            interpolated = ops.three_interpolate(feats2, idx, weight)
+            h = ops.three_interpolate(pre, idx,
+                                      weight.astype(pre.dtype))
         if feats1 is not None:
-            interpolated = jnp.concatenate(
-                [feats1.astype(interpolated.dtype), interpolated], -1)
-        return SharedMLP(self.mlp, name="mlp", dtype=self.dtype)(
-            interpolated, train, bn_momentum)
+            h = h + feats1.astype(pre.dtype) @ k_skip
+        h = h + bias
+        h = BatchNorm(name="proj_bn", dtype=self.dtype)(
+            h, use_running_average=not train, momentum=bn_momentum)
+        h = nn.relu(h)
+        if len(self.mlp) > 1:
+            h = SharedMLP(self.mlp[1:], name="mlp_rest",
+                          dtype=self.dtype)(h, train, bn_momentum)
+        return h
 
 
 # --------------------------------------------------------------- cls models

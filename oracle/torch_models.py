@@ -222,6 +222,75 @@ class PointNet2ClsSSG(nn.Module):
         return F.log_softmax(self.fc3(h), dim=-1), None
 
 
+class PointNet2ClsMSG(nn.Module):
+    def __init__(self, num_class=40, normal_channel=False):
+        super().__init__()
+        self.normal_channel = normal_channel
+        in0 = 3 if normal_channel else 0
+        self.sa1 = SetAbstractionMsg(
+            512, [0.1, 0.2, 0.4], [16, 32, 128], in0,
+            [[32, 32, 64], [64, 64, 128], [64, 96, 128]])
+        self.sa2 = SetAbstractionMsg(
+            128, [0.2, 0.4, 0.8], [32, 64, 128], 64 + 128 + 128,
+            [[64, 64, 128], [128, 128, 256], [128, 128, 256]])
+        self.sa3 = SetAbstraction(None, None, None, 128 + 256 + 256 + 3,
+                                  [256, 512, 1024], group_all=True)
+        self.fc1 = nn.Linear(1024, 512)
+        self.bn1 = EvalBN(512)
+        self.fc2 = nn.Linear(512, 256)
+        self.bn2 = EvalBN(256)
+        self.fc3 = nn.Linear(256, num_class)
+
+    def forward(self, points):
+        xyz = points[..., :3]
+        feats = points[..., 3:6] if self.normal_channel else None
+        xyz, f = self.sa1(xyz, feats)
+        xyz, f = self.sa2(xyz, f)
+        _, f = self.sa3(xyz, f)
+        h = f[:, 0]
+        h = F.relu(self.bn1(self.fc1(h)))
+        h = F.relu(self.bn2(self.fc2(h)))
+        return F.log_softmax(self.fc3(h), dim=-1), None
+
+
+class PointNet2PartSegSSG(nn.Module):
+    """SSG part-seg oracle (exercises the FP/three_interpolate path)."""
+
+    def __init__(self, num_part=50, num_category=16, normal_channel=False):
+        super().__init__()
+        self.normal_channel = normal_channel
+        self.num_category = num_category
+        in0 = 6 if normal_channel else 3  # l0_feats = raw points
+        # grouped input = 3 (recentered xyz) + l0 feature channels
+        self.sa1 = SetAbstraction(512, 0.2, 32,
+                                  3 + (in0 if normal_channel else 0),
+                                  [64, 64, 128])
+        self.sa2 = SetAbstraction(128, 0.4, 64, 128 + 3, [128, 128, 256])
+        self.sa3 = SetAbstraction(None, None, None, 256 + 3,
+                                  [256, 512, 1024], group_all=True)
+        self.fp3 = FeaturePropagation(1024 + 256, [256, 256])
+        self.fp2 = FeaturePropagation(256 + 128, [256, 128])
+        skip = num_category + 3 + in0
+        self.fp1 = FeaturePropagation(128 + skip, [128, 128, 128])
+        self.head_mlp = SharedMLP(128, [128])
+        self.head_out = nn.Linear(128, num_part)
+
+    def forward(self, points, onehot):
+        B, N, _ = points.shape
+        l0_xyz = points[..., :3]
+        l0_f = points if self.normal_channel else None
+        l1_xyz, l1_f = self.sa1(l0_xyz, l0_f)
+        l2_xyz, l2_f = self.sa2(l1_xyz, l1_f)
+        l3_xyz, l3_f = self.sa3(l2_xyz, l2_f)
+        l2_f = self.fp3(l2_xyz, l3_xyz, l2_f, l3_f)
+        l1_f = self.fp2(l1_xyz, l2_xyz, l1_f, l2_f)
+        cls_tiled = onehot.unsqueeze(1).expand(B, N, self.num_category)
+        l0_skip = torch.cat([cls_tiled, l0_xyz, points], -1)
+        l0_f = self.fp1(l0_xyz, l1_xyz, l0_skip, l1_f)
+        h = self.head_mlp(l0_f)
+        return F.log_softmax(self.head_out(h), dim=-1), None
+
+
 class BasicBlock(nn.Module):
     def __init__(self, cin, cout, stride=1):
         super().__init__()
@@ -359,31 +428,48 @@ def load_pointnet_cls(dst: PointNetCls, variables):
     dst.fc3.bias.data = _t(p["fc3"]["bias"])
 
 
-def load_sa(sa, params, stats):
-    """Load one SA block; handles both the plain and the project-first
-    (proj_kernel/proj_bn + mlp_rest) flax parameter layouts — the torch
-    oracle always computes the canonical group-then-MLP form."""
-    if "proj_kernel" not in params:
-        load_shared_mlp(sa.mlp, params["mlp"], stats["mlp"])
+def _load_mlp_block(mlp: SharedMLP, params, stats, suffix=""):
+    """Load a SharedMLP from either the plain (mlp/dense_i) or the
+    project-first (proj_kernel/proj_bn + mlp_rest) flax layout — the
+    torch oracle always computes the canonical grouped form."""
+    pk, pb, pbn = (f"proj_kernel{suffix}", f"proj_bias{suffix}",
+                   f"proj_bn{suffix}")
+    if pk not in params:
+        key = "mlp" if suffix == "" else f"mlp{suffix}"
+        load_shared_mlp(mlp, params[key], stats[key])
         return
-    sa.mlp.dense[0].weight.data = _t(params["proj_kernel"]).T.contiguous()
-    sa.mlp.dense[0].bias.data = _t(params["proj_bias"])
-    sa.mlp.bn[0].scale.data = _t(params["proj_bn"]["scale"])
-    sa.mlp.bn[0].bias.data = _t(params["proj_bn"]["bias"])
-    sa.mlp.bn[0].mean = _t(stats["proj_bn"]["mean"])
-    sa.mlp.bn[0].var = _t(stats["proj_bn"]["var"])
-    if "mlp_rest" in params:
-        rest_p, rest_s = params["mlp_rest"], stats["mlp_rest"]
-        for i in range(len(sa.mlp.dense) - 1):
+    mlp.dense[0].weight.data = _t(params[pk]).T.contiguous()
+    mlp.dense[0].bias.data = _t(params[pb])
+    mlp.bn[0].scale.data = _t(params[pbn]["scale"])
+    mlp.bn[0].bias.data = _t(params[pbn]["bias"])
+    mlp.bn[0].mean = _t(stats[pbn]["mean"])
+    mlp.bn[0].var = _t(stats[pbn]["var"])
+    rest_key = f"mlp_rest{suffix}"
+    if rest_key in params:
+        rest_p, rest_s = params[rest_key], stats[rest_key]
+        for i in range(len(mlp.dense) - 1):
             d = rest_p[f"dense_{i}"]
-            sa.mlp.dense[i + 1].weight.data = _t(d["kernel"]).T.contiguous()
-            sa.mlp.dense[i + 1].bias.data = _t(d["bias"])
+            mlp.dense[i + 1].weight.data = _t(d["kernel"]).T.contiguous()
+            mlp.dense[i + 1].bias.data = _t(d["bias"])
             b = rest_p[f"bn_{i}"]
-            sa.mlp.bn[i + 1].scale.data = _t(b["scale"])
-            sa.mlp.bn[i + 1].bias.data = _t(b["bias"])
+            mlp.bn[i + 1].scale.data = _t(b["scale"])
+            mlp.bn[i + 1].bias.data = _t(b["bias"])
             st = rest_s[f"bn_{i}"]
-            sa.mlp.bn[i + 1].mean = _t(st["mean"])
-            sa.mlp.bn[i + 1].var = _t(st["var"])
+            mlp.bn[i + 1].mean = _t(st["mean"])
+            mlp.bn[i + 1].var = _t(st["var"])
+
+
+def load_sa(sa, params, stats):
+    _load_mlp_block(sa.mlp, params, stats)
+
+
+def load_sa_msg(sa: SetAbstractionMsg, params, stats):
+    for i in range(len(sa.mlps)):
+        _load_mlp_block(sa.mlps[i], params, stats, suffix=f"_{i}")
+
+
+def load_fp(fp: FeaturePropagation, params, stats):
+    _load_mlp_block(fp.mlp, params, stats)
 
 
 def load_pointnet2_cls_ssg(dst: PointNet2ClsSSG, variables):
@@ -394,3 +480,25 @@ def load_pointnet2_cls_ssg(dst: PointNet2ClsSSG, variables):
     _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
     dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
     dst.fc3.bias.data = _t(p["fc3"]["bias"])
+
+
+def load_pointnet2_cls_msg(dst: PointNet2ClsMSG, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    load_sa_msg(dst.sa1, p["sa1"], s["sa1"])
+    load_sa_msg(dst.sa2, p["sa2"], s["sa2"])
+    load_sa(dst.sa3, p["sa3"], s["sa3"])
+    _load_fc_bn(dst.fc1, dst.bn1, p, s, "fc1", "bn1")
+    _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
+    dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
+    dst.fc3.bias.data = _t(p["fc3"]["bias"])
+
+
+def load_pointnet2_part_seg_ssg(dst: PointNet2PartSegSSG, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    for name, sa in (("sa1", dst.sa1), ("sa2", dst.sa2), ("sa3", dst.sa3)):
+        load_sa(sa, p[name], s[name])
+    for name, fp in (("fp3", dst.fp3), ("fp2", dst.fp2), ("fp1", dst.fp1)):
+        load_fp(fp, p[name], s[name])
+    load_shared_mlp(dst.head_mlp, p["head_mlp"], s["head_mlp"])
+    dst.head_out.weight.data = _t(p["head_out"]["kernel"]).T.contiguous()
+    dst.head_out.bias.data = _t(p["head_out"]["bias"])

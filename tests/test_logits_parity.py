@@ -41,6 +41,42 @@ def test_pointnet_cls_logits_match_torch():
         np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
 
 
+def test_pointnet2_cls_msg_logits_match_torch():
+    spec = get_model("pointnet2_cls_msg")
+    model = spec.builder(num_class=5)
+    pts = jnp.asarray(np.random.RandomState(2).randn(2, 256, 3).astype(np.float32))
+    variables = _trained_variables(model, (pts,), nsteps=2)
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, train=False)
+
+    oracle = tm.PointNet2ClsMSG(num_class=5).eval()
+    tm.load_pointnet2_cls_msg(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)))
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_pointnet2_part_seg_ssg_logits_match_torch():
+    spec = get_model("pointnet2_part_seg_ssg")
+    model = spec.builder()
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    onehot = jax.nn.one_hot(jnp.array([4, 9]), 16)
+    variables = _trained_variables(model, (pts, onehot), nsteps=2)
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, onehot, train=False)
+
+    oracle = tm.PointNet2PartSegSSG().eval()
+    tm.load_pointnet2_part_seg_ssg(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)),
+                           torch.from_numpy(np.asarray(onehot)))
+    # per-point logits within fp32 tolerance (BASELINE.json:5)
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
 def test_pointnet2_cls_ssg_logits_match_torch():
     spec = get_model("pointnet2_cls_ssg")
     model = spec.builder(num_class=5)

@@ -45,6 +45,35 @@ def test_ssg_project_first_equivalent():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fp_project_first_equivalent():
+    from mm3d_tpu.models.pointnet2 import FeaturePropagation
+    rng = np.random.RandomState(2)
+    xyz1 = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+    f1 = jnp.asarray(rng.randn(2, 128, 24).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 32, 48).astype(np.float32))
+
+    plain = FeaturePropagation((64, 32), project_first=False)
+    proj = FeaturePropagation((64, 32), project_first=True)
+    with jax.default_matmul_precision("float32"):
+        pv = plain.init(jax.random.PRNGKey(0), xyz1, xyz2, f1, f2,
+                        train=False)
+        qv = _transfer_plain_to_proj(pv)
+        o1 = plain.apply(pv, xyz1, xyz2, f1, f2, train=False)
+        o2 = proj.apply(qv, xyz1, xyz2, f1, f2, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-4)
+    # M == 1 broadcast path
+    with jax.default_matmul_precision("float32"):
+        pv1 = plain.init(jax.random.PRNGKey(1), xyz1, xyz2[:, :1], f1,
+                         f2[:, :1], train=False)
+        qv1 = _transfer_plain_to_proj(pv1)
+        a = plain.apply(pv1, xyz1, xyz2[:, :1], f1, f2[:, :1], train=False)
+        b = proj.apply(qv1, xyz1, xyz2[:, :1], f1, f2[:, :1], train=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_msg_project_first_forward():
     rng = np.random.RandomState(1)
     xyz = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
