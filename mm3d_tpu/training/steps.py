@@ -175,6 +175,39 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
     return jax.jit(step)
 
 
+def make_vote_partseg_step(model, num_votes: int, num_category: int,
+                           part_start, part_count) -> Callable:
+    """Part-seg vote ensembling: the lineage's test_partseg averages
+    probabilities over re-sampled passes; the on-device analog shuffles
+    the point order per vote (changing the FPS seed point and therefore
+    the groupings), un-shuffles the per-point probabilities, and
+    averages, then takes the category-masked argmax."""
+
+    def step(state: TrainState, points, cat, key):
+        variables = _split_variables(state)
+        B, N, _ = points.shape
+        onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
+
+        def probs_of(pts):
+            log_probs, _ = model.apply(variables, pts, onehot, train=False)
+            return jnp.exp(log_probs)
+
+        def one_vote(i, acc):
+            k = jax.random.fold_in(key, i)
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
+                jax.random.split(k, B))  # [B,N]
+            shuffled = jnp.take_along_axis(points, perm[..., None], axis=1)
+            p = probs_of(shuffled)
+            inv = jnp.argsort(perm, axis=1)
+            return acc + jnp.take_along_axis(p, inv[..., None], axis=1)
+
+        probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
+        ps, pc = part_start[cat], part_count[cat]
+        return M.masked_part_argmax(jnp.log(probs + 1e-12), ps, pc)
+
+    return jax.jit(step)
+
+
 def make_vote_eval_step(model, num_votes: int = 3) -> Callable:
     """Vote ensembling for classification eval (the lineage's test-time
     trick): average probabilities over `num_votes` randomly Y-rotated

@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--normal", action="store_true")
     p.add_argument("--num_class", type=int, default=40)
     p.add_argument("--num_votes", type=int, default=1)
+    p.add_argument("--impl", default="auto", choices=["auto", "jax", "pallas"],
+                   help="geometry-op implementation")
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -37,6 +39,8 @@ def main(argv=None):
     a = parse_args(argv)
     from mm3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from mm3d_tpu import ops
+    ops.set_impl(a.impl)
     from mm3d_tpu.models import get_model
     spec = get_model(a.model)
     cfg = TrainConfig(
@@ -62,6 +66,27 @@ def main(argv=None):
             correct += int(np.sum(np.asarray(pred) == np.asarray(label)))
             total += int(label.size)
         result["vote_instance_acc"] = correct / max(total, 1)
+    elif a.num_votes > 1 and trainer.task == "partseg":
+        from mm3d_tpu.data import synthetic as syn
+        from mm3d_tpu.utils import metrics as M
+        ranges = syn.shapenet_part_ranges()
+        import jax.numpy as jnp
+        start = jnp.array([ranges[c][0] for c in range(16)], jnp.int32)
+        count = jnp.array([ranges[c][1] - ranges[c][0] for c in range(16)],
+                          jnp.int32)
+        vote = steps.make_vote_partseg_step(
+            trainer.model, a.num_votes, 16, start, count)
+        key = jax.random.PRNGKey(a.seed)
+        ious, cats = [], []
+        for i, (pts, cat, seg) in enumerate(trainer.test_pipe.epoch(0)):
+            pred = vote(trainer.state, pts, cat, jax.random.fold_in(key, i))
+            sh = M.shape_ious(pred, jnp.asarray(seg), start[cat], count[cat],
+                              int(count.max()))
+            ious.append(np.asarray(sh)); cats.append(np.asarray(cat))
+        agg = M.partseg_metrics_host(np.concatenate(ious),
+                                     np.concatenate(cats), 16)
+        result["vote_instance_miou"] = agg["instance_miou"]
+        result["vote_class_miou"] = agg["class_miou"]
     trainer.log.info("eval: %s", result)
     print(result)
     return result

@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_checkpoint", action="store_true")
+    p.add_argument("--impl", default="auto", choices=["auto", "jax", "pallas"],
+                   help="geometry-op implementation")
     return p.parse_args(argv)
 
 
@@ -48,6 +50,8 @@ def main(argv=None):
     a = parse_args(argv)
     from mm3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from mm3d_tpu import ops
+    ops.set_impl(a.impl)
     from mm3d_tpu.models import get_model
     spec = get_model(a.model)
     cfg = TrainConfig(
