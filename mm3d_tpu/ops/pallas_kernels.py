@@ -184,9 +184,85 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
     return out[:, :S, :nsample]
 
 
+# ---------------------------------------------------------------- three_nn
+
+
+def _three_nn_kernel(m_actual: int, new_ref, xyz_ref, d_ref, i_ref):
+    """Top-3 nearest: MXU distances + 3-step extract-min (argmin keeps
+    first occurrence on ties, matching lax.top_k)."""
+    Nt = new_ref.shape[0]
+    _, M = xyz_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Nt, M), 1)
+    a = new_ref[:]
+    b = xyz_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+    d2 = jnp.where(lane < m_actual, d2, jnp.inf)
+
+    kpad = d_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (Nt, kpad), 1)
+    d_ref[:] = jnp.zeros((Nt, kpad), jnp.float32)
+    i_ref[:] = jnp.zeros((Nt, kpad), jnp.int32)
+
+    def body(j, d2):
+        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # first occurrence
+        oh = lane == am[:, None]
+        val = jnp.sum(jnp.where(oh, d2, 0.0), axis=1)
+        d_ref[:] = jnp.where(col == j, val[:, None], d_ref[:])
+        i_ref[:] = jnp.where(col == j, am[:, None], i_ref[:])
+        return jnp.where(oh, jnp.inf, d2)
+
+    jax.lax.fori_loop(0, 3, body, d2)
+
+
+def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
+                    interpret: bool = None):
+    """Pallas 3-NN; same contract as geometry._three_nn_jax."""
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    Mp = _round_up(M, 128)
+    Np = _round_up(N, 8)
+    dense = jnp.pad(xyz1.astype(jnp.float32), ((0, 0), (0, Np - N), (0, 5)))
+    sparse_t = jnp.pad(
+        jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2),
+        ((0, 0), (0, 5), (0, Mp - M)))
+    nt = Np
+    while nt > 1024 and nt % 2 == 0:
+        nt //= 2
+    grid = (B, Np // nt)
+    if interpret is None:
+        interpret = not _on_tpu()
+    d, i = pl.pallas_call(
+        functools.partial(_three_nn_kernel, M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, nt, 8), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, nt, 128), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nt, 128), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Np, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(dense, sparse_t)
+    return d[:, :N, :3], i[:, :N, :3]
+
+
 def _register():
     dispatch.register_kernel("farthest_point_sample", fps_pallas)
     dispatch.register_kernel("query_ball_point", ball_query_pallas)
+    dispatch.register_kernel("three_nn", three_nn_pallas)
 
 
 _register()

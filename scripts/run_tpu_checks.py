@@ -49,6 +49,17 @@ def main():
     if not ok:
         failures.append("ball_query")
 
+    dense = xyz
+    sparse = xyz[:, :128]
+    gd, gi = np.asarray(jax.jit(pk.three_nn_pallas)(dense, sparse)[0]), \
+        np.asarray(jax.jit(pk.three_nn_pallas)(dense, sparse)[1])
+    wd, wi = tops.three_nn(txyz, torch.from_numpy(np.array(sparse)))
+    ok = (gi == wi.numpy()).all() and np.allclose(
+        gd, wd.numpy(), rtol=1e-4, atol=1e-5)
+    print(f"three_nn_pallas == torch oracle: {bool(ok)}")
+    if not ok:
+        failures.append("three_nn")
+
     # dispatch auto mode picks the kernels on TPU
     with ops.use_impl("auto"):
         idx = np.asarray(jax.jit(

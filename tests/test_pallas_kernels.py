@@ -47,6 +47,20 @@ def test_ball_query_pallas_exact(b, n, s, r, k):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("b,n,m", [(2, 128, 32), (3, 511, 100),
+                                   (1, 1024, 256)])
+def test_three_nn_pallas_exact(b, n, m):
+    from mm3d_tpu.ops.geometry import _three_nn_jax
+    rng = np.random.RandomState(n + m)
+    dense = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    sparse = jnp.asarray(rng.randn(b, m, 3).astype(np.float32))
+    gd, gi = pk.three_nn_pallas(dense, sparse, interpret=True)
+    wd, wi = _three_nn_jax(dense, sparse)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(wd),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch_pallas_mode_uses_kernels():
     xyz = _xyz(2, 128, seed=3)
     with dispatch.use_impl("pallas"):
