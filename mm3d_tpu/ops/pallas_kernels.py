@@ -68,7 +68,11 @@ def _fps_kernel(npoint: int, n_actual: int, x_ref, y_ref, z_ref, start_ref,
         m = jnp.minimum(mind_ref[:], d)
         m = jnp.where(valid, m, -1.0)
         mind_ref[:] = m
-        return jnp.argmax(m, axis=1).astype(jnp.int32)
+        # explicit first-occurrence argmax (Mosaic's argmax lowering
+        # fails to legalize on single-tile [*,128] shapes)
+        maxv = jnp.max(m, axis=1, keepdims=True)
+        return jnp.min(jnp.where(m == maxv, lane, N), axis=1).astype(
+            jnp.int32)
 
     jax.lax.fori_loop(0, npoint, body, start_ref[:, 0])
 
@@ -93,6 +97,8 @@ def fps_pallas(xyz: jax.Array, npoint: int, start_idx=0,
     while B % bt:
         bt -= 1
     grid = (B // bt,)
+    # output lanes must be 128-aligned for Mosaic; kernel writes i<npoint
+    np_pad = _round_up(npoint, 128)
     spec = pl.BlockSpec((bt, Np), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     if interpret is None:
@@ -103,13 +109,13 @@ def fps_pallas(xyz: jax.Array, npoint: int, start_idx=0,
         in_specs=[spec, spec, spec,
                   pl.BlockSpec((bt, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bt, npoint), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bt, np_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, np_pad), jnp.int32),
         scratch_shapes=[pltpu.VMEM((bt, Np), jnp.float32)],
         interpret=interpret,
     )(x, y, z, start)
-    return out
+    return out[:, :npoint]
 
 
 # ---------------------------------------------------------------- ball query
@@ -161,8 +167,12 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
     new_p = jnp.pad(new_xyz.astype(jnp.float32),
                     ((0, 0), (0, Sp - S), (0, 5)))    # [B,Sp,8]
 
+    # centroid-tile size bounded by VMEM: the d² tile is [st, Np] f32 and
+    # the candidate tile another [st, Np] i32 (~8 MB budget of the 16 MB
+    # scoped limit).
+    st_cap = max(8, (4 * 1024 * 1024) // (4 * Np))
     st = Sp
-    while st > 1024 and st % 2 == 0:
+    while st > st_cap and st % 2 == 0:
         st //= 2
     grid = (B, Sp // st)
     if interpret is None:
@@ -208,7 +218,10 @@ def _three_nn_kernel(m_actual: int, new_ref, xyz_ref, d_ref, i_ref):
     i_ref[:] = jnp.zeros((Nt, kpad), jnp.int32)
 
     def body(j, d2):
-        am = jnp.argmin(d2, axis=1).astype(jnp.int32)  # first occurrence
+        # explicit first-occurrence argmin (see FPS kernel note)
+        minv = jnp.min(d2, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d2 == minv, lane, M), axis=1).astype(
+            jnp.int32)
         oh = lane == am[:, None]
         val = jnp.sum(jnp.where(oh, d2, 0.0), axis=1)
         d_ref[:] = jnp.where(col == j, val[:, None], d_ref[:])
@@ -229,8 +242,10 @@ def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
     sparse_t = jnp.pad(
         jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2),
         ((0, 0), (0, 5), (0, Mp - M)))
+    # dense-tile size bounded by VMEM (d² tile is [nt, Mp] f32)
+    nt_cap = max(8, (4 * 1024 * 1024) // (4 * Mp))
     nt = Np
-    while nt > 1024 and nt % 2 == 0:
+    while nt > nt_cap and nt % 2 == 0:
         nt //= 2
     grid = (B, Np // nt)
     if interpret is None:
