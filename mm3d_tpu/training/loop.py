@@ -53,6 +53,7 @@ class TrainConfig:
     checkpoint: bool = True
     resume: bool = False
     augmentations: Optional[Sequence[str]] = None
+    class_weights: Optional[Sequence[float]] = None  # semseg label weights
     image_hw: tuple = (64, 64)
     fusion: str = "concat"  # fusion head for fusion_* models
 
@@ -130,9 +131,12 @@ class Trainer:
         augs = cfg.augmentations
         if augs is None:
             augs = aug.TASK_PIPELINES.get(self.task, ())
+        cw = (jnp.asarray(cfg.class_weights, jnp.float32)
+              if cfg.class_weights is not None else None)
         self.train_step = steps.make_train_step(
             self.model, self.spec.loss, self.tx, self.task,
-            augment_names=tuple(augs), num_category=cfg.num_category)
+            augment_names=tuple(augs), num_category=cfg.num_category,
+            class_weights=cw)
         eval_kwargs = {}
         if self.task == "partseg":
             ranges = syn.shapenet_part_ranges()
