@@ -294,7 +294,11 @@ class PointNet2PartSegSSG(nn.Module):
 class BasicBlock(nn.Module):
     def __init__(self, cin, cout, stride=1):
         super().__init__()
-        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.stride = stride
+        # stride-2 "SAME" in flax pads asymmetrically (lo=0, hi=1); torch's
+        # padding=1 is symmetric, so pad explicitly for stride 2.
+        pad1 = 1 if stride == 1 else 0
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, pad1, bias=False)
         self.bn1 = nn.BatchNorm2d(cout).eval()
         self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
         self.bn2 = nn.BatchNorm2d(cout).eval()
@@ -305,7 +309,8 @@ class BasicBlock(nn.Module):
 
     def forward(self, x):
         r = x if self.proj is None else self.bn_proj(self.proj(x))
-        y = F.relu(self.bn1(self.conv1(x)))
+        xin = x if self.stride == 1 else F.pad(x, (0, 1, 0, 1))
+        y = F.relu(self.bn1(self.conv1(xin)))
         y = self.bn2(self.conv2(y))
         return F.relu(y + r)
 
@@ -365,6 +370,72 @@ class FusionCls(nn.Module):
         h = F.relu(self.bn1(self.fc1(h)))
         h = F.relu(self.bn2(self.fc2(h)))
         return F.log_softmax(self.fc3(h), dim=-1), None
+
+
+class FusionSemSeg(nn.Module):
+    """Config 5 oracle: per-point fusion semseg (concat head).
+
+    Mirrors mm3d_tpu.models.fusion.FusionSemSeg: dense point trunk
+    (SA x2 + FP x2), image CNN, point->pixel projection + bilinear
+    sampling (zero padding, pixel-center coords, stride-4 map).
+    """
+
+    def __init__(self, num_class=13, in_channels=9, image_stride=4):
+        super().__init__()
+        self.image_stride = image_stride
+        self.sa1 = SetAbstraction(256, 0.2, 32, 3 + in_channels,
+                                  [64, 64, 128])
+        self.sa2 = SetAbstraction(64, 0.4, 64, 128 + 3, [128, 128, 256])
+        self.fp2 = FeaturePropagation(256 + 128, [256, 128])
+        self.fp1 = FeaturePropagation(128 + in_channels, [128, 128])
+        self.image = ImageEncoder()
+        self.head_mlp = SharedMLP(128 + 128, [128])
+        self.head_out = nn.Linear(128, num_class)
+
+    @staticmethod
+    def _bilinear(feat_nchw, uv, H, W):
+        # zero-padded bilinear at pixel coords (matches ops.projection)
+        B, C, Hf, Wf = feat_nchw.shape
+        u, v = uv[..., 0], uv[..., 1]
+        x0 = torch.floor(u); y0 = torch.floor(v)
+        du = (u - x0).unsqueeze(-1); dv = (v - y0).unsqueeze(-1)
+        x0 = x0.long(); y0 = y0.long()
+        flat = feat_nchw.permute(0, 2, 3, 1).reshape(B, Hf * Wf, C)
+
+        def corner(xi, yi):
+            inside = ((xi >= 0) & (xi < Wf) & (yi >= 0) & (yi < Hf))
+            idx = (yi.clamp(0, Hf - 1) * Wf + xi.clamp(0, Wf - 1))
+            vals = torch.gather(
+                flat, 1, idx.unsqueeze(-1).expand(-1, -1, C))
+            return vals * inside.unsqueeze(-1).float()
+
+        c00 = corner(x0, y0); c10 = corner(x0 + 1, y0)
+        c01 = corner(x0, y0 + 1); c11 = corner(x0 + 1, y0 + 1)
+        top = c00 * (1 - du) + c10 * du
+        bot = c01 * (1 - du) + c11 * du
+        return top * (1 - dv) + bot * dv
+
+    def forward(self, points, image, K, R, t):
+        xyz = points[..., :3]
+        l1_xyz, l1_f = self.sa1(xyz, points)
+        l2_xyz, l2_f = self.sa2(l1_xyz, l1_f)
+        l1_f = self.fp2(l1_xyz, l2_xyz, l1_f, l2_f)
+        pf = self.fp1(xyz, l1_xyz, points, l1_f)
+        fmap, _ = self.image(image)
+        H, W = image.shape[1], image.shape[2]
+        cam = torch.einsum("bij,bnj->bni", R, xyz) + t.unsqueeze(1)
+        z = cam[..., 2]
+        safe_z = torch.where(z.abs() < 1e-6, torch.full_like(z, 1e-6), z)
+        u = K[:, None, 0, 0] * cam[..., 0] / safe_z + K[:, None, 0, 2]
+        v = K[:, None, 1, 1] * cam[..., 1] / safe_z + K[:, None, 1, 2]
+        uv = torch.stack([u, v], -1)
+        valid = ((z > 0) & (u >= 0) & (u <= W - 1)
+                 & (v >= 0) & (v <= H - 1))
+        pixf = self._bilinear(fmap, uv / self.image_stride, H, W)
+        pixf = pixf * valid.unsqueeze(-1).float()
+        fused = torch.cat([pf, pixf], -1)
+        h = self.head_mlp(fused)
+        return F.log_softmax(self.head_out(h), dim=-1), None
 
 
 # ------------------------------------------------------- weight transfer
@@ -491,6 +562,63 @@ def load_pointnet2_cls_msg(dst: PointNet2ClsMSG, variables):
     _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
     dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
     dst.fc3.bias.data = _t(p["fc3"]["bias"])
+
+
+def _load_conv(conv: nn.Conv2d, kernel):
+    # flax NHWC kernel [h,w,in,out] -> torch [out,in,h,w]
+    conv.weight.data = _t(kernel).permute(3, 2, 0, 1).contiguous()
+
+
+def _load_bn2d(bn: nn.BatchNorm2d, params, stats):
+    bn.weight.data = _t(params["scale"])
+    bn.bias.data = _t(params["bias"])
+    bn.running_mean = _t(stats["mean"])
+    bn.running_var = _t(stats["var"])
+
+
+def load_image_encoder(dst: ImageEncoder, params, stats):
+    _load_conv(dst.stem, params["stem"]["kernel"])
+    _load_bn2d(dst.stem_bn, params["stem_bn"], stats["stem_bn"])
+    i = 0
+    for s in range(3):
+        for b in range(2):
+            name = f"s{s}b{b}"
+            blk = dst.blocks[i]; i += 1
+            _load_conv(blk.conv1, params[name]["conv1"]["kernel"])
+            _load_bn2d(blk.bn1, params[name]["bn1"], stats[name]["bn1"])
+            _load_conv(blk.conv2, params[name]["conv2"]["kernel"])
+            _load_bn2d(blk.bn2, params[name]["bn2"], stats[name]["bn2"])
+            if blk.proj is not None:
+                _load_conv(blk.proj, params[name]["proj"]["kernel"])
+                _load_bn2d(blk.bn_proj, params[name]["bn_proj"],
+                           stats[name]["bn_proj"])
+    dst.fc_glob.weight.data = _t(params["fc_glob"]["kernel"]).T.contiguous()
+    dst.fc_glob.bias.data = _t(params["fc_glob"]["bias"])
+
+
+def load_fusion_cls(dst: FusionCls, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    pt, st_ = p["point_trunk"], s["point_trunk"]
+    for name, sa in (("sa1", dst.sa1), ("sa2", dst.sa2), ("sa3", dst.sa3)):
+        load_sa(sa, pt[name], st_[name])
+    load_image_encoder(dst.image, p["image_trunk"], s["image_trunk"])
+    _load_fc_bn(dst.fc1, dst.bn1, p, s, "fc1", "bn1")
+    _load_fc_bn(dst.fc2, dst.bn2, p, s, "fc2", "bn2")
+    dst.fc3.weight.data = _t(p["fc3"]["kernel"]).T.contiguous()
+    dst.fc3.bias.data = _t(p["fc3"]["bias"])
+
+
+def load_fusion_semseg(dst: FusionSemSeg, variables):
+    p, s = variables["params"], variables["batch_stats"]
+    pt, st_ = p["point_trunk"], s["point_trunk"]
+    for name, blk in (("sa1", dst.sa1), ("sa2", dst.sa2)):
+        load_sa(blk, pt[name], st_[name])
+    for name, blk in (("fp2", dst.fp2), ("fp1", dst.fp1)):
+        load_fp(blk, pt[name], st_[name])
+    load_image_encoder(dst.image, p["image_trunk"], s["image_trunk"])
+    load_shared_mlp(dst.head_mlp, p["head_mlp"], s["head_mlp"])
+    dst.head_out.weight.data = _t(p["head_out"]["kernel"]).T.contiguous()
+    dst.head_out.bias.data = _t(p["head_out"]["bias"])
 
 
 def load_pointnet2_part_seg_ssg(dst: PointNet2PartSegSSG, variables):

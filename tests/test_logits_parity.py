@@ -77,6 +77,58 @@ def test_pointnet2_part_seg_ssg_logits_match_torch():
         np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
 
 
+def test_fusion_cls_logits_match_torch():
+    """Config 4 quality gate: multimodal fusion logits parity including
+    the image CNN (NHWC->NCHW transfer, asymmetric SAME padding)."""
+    spec = get_model("fusion_cls")
+    model = spec.builder(num_class=6)
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    K = jnp.asarray(np.stack([np.eye(3, dtype=np.float32) * 16] * 2))
+    R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
+    t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
+    variables = _trained_variables(model, (pts, img, K, R, t), nsteps=2)
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, img, K, R, t, train=False)
+
+    oracle = tm.FusionCls(num_class=6).eval()
+    tm.load_fusion_cls(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)),
+                           torch.from_numpy(np.asarray(img)))
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_fusion_semseg_logits_match_torch():
+    """Config 5 quality gate: per-point multimodal semseg logits parity
+    including projection + bilinear sampling."""
+    spec = get_model("fusion_sem_seg")
+    model = spec.builder(num_class=13)
+    rng = np.random.RandomState(6)
+    pts = jnp.asarray(rng.randn(2, 128, 9).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    K = jnp.asarray(np.stack([np.eye(3, dtype=np.float32) * 16] * 2))
+    K = K.at[:, 0, 2].set(16.0).at[:, 1, 2].set(16.0).at[:, 2, 2].set(1.0)
+    R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
+    t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
+    variables = _trained_variables(model, (pts, img, K, R, t), nsteps=2)
+    with jax.default_matmul_precision("float32"):
+        logp_jax, _ = model.apply(variables, pts, img, K, R, t, train=False)
+
+    oracle = tm.FusionSemSeg(num_class=13, in_channels=9).eval()
+    tm.load_fusion_semseg(oracle, variables)
+    with torch.no_grad():
+        logp_t, _ = oracle(torch.from_numpy(np.asarray(pts)),
+                           torch.from_numpy(np.asarray(img)),
+                           torch.from_numpy(np.asarray(K)),
+                           torch.from_numpy(np.asarray(R)),
+                           torch.from_numpy(np.asarray(t)))
+    np.testing.assert_allclose(
+        np.asarray(logp_jax), logp_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
 def test_pointnet2_cls_ssg_logits_match_torch():
     spec = get_model("pointnet2_cls_ssg")
     model = spec.builder(num_class=5)
