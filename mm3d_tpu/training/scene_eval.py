@@ -1,0 +1,109 @@
+"""Whole-scene semantic-segmentation evaluation (the reference's
+test_semseg protocol, SURVEY.md §2.4): a full room is tiled into
+overlapping fixed-size blocks, each block is predicted by the jitted
+model, and per-point class probabilities are vote-accumulated back onto
+the original points; metrics are computed over the whole scene.
+
+All block predictions run on device in fixed shapes; only the final
+per-point argmax comes back to the host.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm3d_tpu.utils import metrics as M
+
+
+def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
+               npoints: int = 4096, block_size: float = 1.0,
+               stride: float = 0.5, seed: int = 0):
+    """Tile a room into overlapping blocks of exactly `npoints` points.
+
+    Returns (features [nblocks, npoints, 9], point_idx [nblocks, npoints])
+    where point_idx maps each block row back to the original point id
+    (points are re-sampled with replacement when a block is small, so a
+    point can appear several times — votes accumulate).
+    """
+    rng = np.random.RandomState(seed)
+    room_max = xyz.max(0)
+    if rgb is None:
+        rgb = np.zeros_like(xyz)
+    if rgb.max() > 1.5:
+        rgb = rgb / 255.0
+    xs = np.arange(xyz[:, 0].min(), xyz[:, 0].max() + 1e-6, stride)
+    ys = np.arange(xyz[:, 1].min(), xyz[:, 1].max() + 1e-6, stride)
+    feats_l, idx_l = [], []
+    for x0 in xs:
+        for y0 in ys:
+            mask = ((xyz[:, 0] >= x0) & (xyz[:, 0] < x0 + block_size)
+                    & (xyz[:, 1] >= y0) & (xyz[:, 1] < y0 + block_size))
+            sel = np.where(mask)[0]
+            if len(sel) < 16:
+                continue
+            # cover EVERY point in the block: shuffle and emit
+            # ceil(n/npoints) tiles, padding the last by resampling
+            sel = rng.permutation(sel)
+            nchunks = max(1, int(np.ceil(len(sel) / npoints)))
+            for c in range(nchunks):
+                choice = sel[c * npoints:(c + 1) * npoints]
+                if len(choice) < npoints:
+                    extra = rng.choice(sel, npoints - len(choice),
+                                       replace=len(sel) < npoints)
+                    choice = np.concatenate([choice, extra])
+                bxyz = xyz[choice]
+                local = bxyz - bxyz.mean(0, keepdims=True)
+                norm = bxyz / np.maximum(room_max, 1e-6)
+                feats_l.append(np.concatenate(
+                    [local, rgb[choice], norm], -1).astype(np.float32))
+                idx_l.append(choice.astype(np.int32))
+    if not feats_l:
+        raise ValueError("scene produced no blocks")
+    return np.stack(feats_l), np.stack(idx_l)
+
+
+def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
+                   labels: Optional[np.ndarray] = None,
+                   rgb: Optional[np.ndarray] = None,
+                   num_classes: int = 13, npoints: int = 4096,
+                   block_size: float = 1.0, stride: float = 0.5,
+                   batch_size: int = 8, seed: int = 0
+                   ) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Predict per-point labels for a whole room.
+
+    predict_fn: jitted (points [B, npoints, 9]) -> log_probs
+    [B, npoints, C].  Returns (pred [N] int labels, metrics dict —
+    empty unless `labels` given).
+    """
+    feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
+    nblocks = feats.shape[0]
+    votes = np.zeros((len(xyz), num_classes), np.float32)
+    pad = (-nblocks) % batch_size
+    if pad:
+        feats = np.concatenate([feats, feats[:pad]], 0)
+        pidx = np.concatenate([pidx, pidx[:pad]], 0)
+    for s in range(0, nblocks + pad, batch_size):
+        chunk = jnp.asarray(feats[s:s + batch_size])
+        logp = np.asarray(predict_fn(chunk))
+        probs = np.exp(logp)
+        for b in range(batch_size):
+            gi = s + b
+            if gi >= nblocks:
+                break
+            np.add.at(votes, pidx[gi], probs[b])
+    seen = votes.sum(-1) > 0
+    pred = votes.argmax(-1).astype(np.int32)
+    metrics: Dict[str, float] = {"coverage": float(seen.mean())}
+    if labels is not None:
+        cm = M.confusion_matrix(jnp.asarray(pred[seen]),
+                                jnp.asarray(labels[seen]), num_classes)
+        _, miou = M.iou_from_confusion(cm)
+        metrics.update({
+            "point_acc": float((pred[seen] == labels[seen]).mean()),
+            "miou": float(miou),
+        })
+    return pred, metrics

@@ -1,0 +1,64 @@
+"""Whole-scene semseg evaluation (reference test_semseg protocol)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm3d_tpu.training import scene_eval
+
+
+def _room(n=3000, seed=0):
+    rng = np.random.RandomState(seed)
+    xyz = rng.rand(n, 3) * [4.0, 4.0, 3.0]
+    rgb = rng.rand(n, 3)
+    # label = 0 below z=1.5, 1 above: trivially learnable from features
+    labels = (xyz[:, 2] > 1.5).astype(np.int32)
+    return xyz.astype(np.float32), rgb.astype(np.float32), labels
+
+
+def test_tile_scene_covers_room():
+    xyz, rgb, _ = _room()
+    feats, pidx = scene_eval.tile_scene(xyz, rgb, npoints=512,
+                                        block_size=2.0, stride=1.0)
+    assert feats.shape[1:] == (512, 9) and pidx.shape == feats.shape[:2]
+    covered = np.zeros(len(xyz), bool)
+    covered[pidx.reshape(-1)] = True
+    assert covered.mean() > 0.95
+    # features: local xyz centered, rgb passthrough in [0,1]
+    assert abs(feats[..., :3].mean()) < 0.2
+    assert feats[..., 3:6].min() >= 0 and feats[..., 3:6].max() <= 1
+
+
+def test_evaluate_scene_with_oracle_predictor():
+    xyz, rgb, labels = _room()
+
+    # a "perfect" predictor that reads the height from the normalized-z
+    # feature channel — verifies the vote-stitching plumbing end to end.
+    @jax.jit
+    def predict(points):
+        z = points[..., 8] * 3.0  # norm z * room height
+        hot = jax.nn.one_hot((z > 1.5).astype(jnp.int32), 13)
+        return jnp.log(hot * 0.98 + 0.01)
+
+    pred, metrics = scene_eval.evaluate_scene(
+        predict, xyz, labels=labels, rgb=rgb, num_classes=13,
+        npoints=512, block_size=2.0, stride=1.0, batch_size=4)
+    assert metrics["coverage"] > 0.95
+    assert metrics["point_acc"] > 0.99
+    assert pred.shape == (len(xyz),)
+
+
+def test_evaluate_scene_with_real_model():
+    from mm3d_tpu.models import get_model
+    xyz, rgb, labels = _room(n=1500)
+    spec = get_model("pointnet2_sem_seg")
+    model = spec.builder(num_class=13)
+    pts0 = jnp.zeros((2, 256, 9), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pts0, train=True)
+    predict = jax.jit(lambda p: model.apply(v, p, train=False)[0])
+    pred, metrics = scene_eval.evaluate_scene(
+        predict, xyz, labels=labels, rgb=rgb, num_classes=13,
+        npoints=256, block_size=2.0, stride=1.5, batch_size=2)
+    assert metrics["coverage"] > 0.9
+    assert 0.0 <= metrics["miou"] <= 1.0
