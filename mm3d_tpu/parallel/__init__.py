@@ -6,6 +6,7 @@ from mm3d_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from mm3d_tpu.parallel.sharded_fps import sharded_fps
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch"]
+           "shard_batch", "sharded_fps"]

@@ -16,11 +16,11 @@ Sequence/point-axis parallelism (SURVEY.md §2.5): the reference's
 "sequence length" analog is the point count N, which this family handles
 by FPS-downsampling to a fixed npoint and block-cropping scenes — there
 is no attention over N, so ring-attention-style SP is not applicable.
-For N >> 1e5 single-cloud workloads the natural extension is sharding
-the N axis over the data axis and exchanging point tiles ring-wise
-(ppermute) inside FPS/ball-query — the Pallas FPS kernel's running
-min-distance cache makes this a per-step all-max over shards.  Future
-work; not needed for parity (max N here is 4096).
+For N >> 1e5 single-cloud workloads the N axis shards over the mesh:
+see `sharded_fps.py` for the implemented SPMD FPS (local min-distance
+caches + two tiny collectives per step, exact single-device semantics).
+Ball-query/grouping under point sharding remains future work (not
+needed for parity; max N here is 4096).
 """
 
 from __future__ import annotations
