@@ -10,7 +10,7 @@ round-trips (BASELINE.json:5).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,8 @@ TPU design notes (BASELINE.json:5):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -25,7 +25,6 @@ channel axis maps to lanes); indices are int32.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -9,20 +9,14 @@ inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from mm3d_tpu.data import augment as aug
-from mm3d_tpu.parallel import mesh as pmesh
 from mm3d_tpu.training.state import TrainState, apply_updates
 from mm3d_tpu.utils import metrics as M
-
-
-def _maybe_shard(jit_fn, mesh, state_like):
-    return jit_fn  # shardings flow from the input placements (device_put)
 
 
 def _split_variables(state: TrainState):
