@@ -217,6 +217,8 @@ class S3DISDataset:
                     & (xyz[:, 1] >= lo[1]) & (xyz[:, 1] <= hi[1]))
             if mask.sum() > 32:
                 break
+        else:  # sparse room: no attempt passed — sample the whole room
+            mask = np.ones(len(xyz), bool)
         sel = np.where(mask)[0]
         choice = rng.choice(sel, self.npoints, replace=len(sel) < self.npoints)
         bxyz, brgb, bl = xyz[choice], rgb[choice], label[choice]

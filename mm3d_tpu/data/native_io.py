@@ -84,4 +84,7 @@ def parse_many(paths: List[str], cols: int, max_rows: int = 200_000,
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         max_rows, cols, n_threads)
+    bad = np.where(rows < 0)[0]
+    if bad.size:  # -1 = open/read failure; never slice with it
+        raise FileNotFoundError(paths[int(bad[0])])
     return [out[i, : rows[i]].copy() for i in range(n)]

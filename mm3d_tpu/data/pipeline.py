@@ -39,12 +39,18 @@ class DataPipeline:
       to_device: if True, `jax.device_put` each batch as it is produced
         (overlaps H2D with the previous step's compute).
       sharding: optional jax sharding passed to device_put (DP batch layout).
+      pad_remainder: if True, the final incomplete batch is padded (by
+        wrapping to the first samples) instead of dropped, and the epoch
+        iterator yields ``(batch, valid)`` pairs where ``valid`` is a
+        bool [batch_size] row mask — eval must see the full test set
+        (the reference protocol evaluates every sample).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, prefetch: int = 2,
                  collate: Optional[Callable] = None,
-                 to_device: bool = True, sharding=None):
+                 to_device: bool = True, sharding=None,
+                 pad_remainder: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,19 +59,27 @@ class DataPipeline:
         self.collate = collate or _default_collate
         self.to_device = to_device
         self.sharding = sharding
+        self.pad_remainder = pad_remainder
 
     def steps_per_epoch(self) -> int:
-        return len(self.dataset) // self.batch_size
+        n = len(self.dataset)
+        if self.pad_remainder:
+            return -(-n // self.batch_size)
+        return n // self.batch_size
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
-        return idx[: self.steps_per_epoch() * self.batch_size]
+        total = self.steps_per_epoch() * self.batch_size
+        if self.pad_remainder and total > n:
+            idx = np.concatenate([idx, idx[: total - n]])  # wrap-pad
+        return idx[:total]
 
     def epoch(self, epoch: int = 0) -> Iterator[Any]:
         """Iterate one epoch of batches with background prefetch."""
+        n = len(self.dataset)
         idx = self._epoch_indices(epoch)
         nsteps = len(idx) // self.batch_size
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -74,8 +88,12 @@ class DataPipeline:
         def worker():
             try:
                 for s in range(nsteps):
-                    rows = idx[s * self.batch_size:(s + 1) * self.batch_size]
+                    lo = s * self.batch_size
+                    rows = idx[lo:lo + self.batch_size]
                     batch = self.collate([self.dataset[int(i)] for i in rows])
+                    if self.pad_remainder:
+                        valid = np.arange(lo, lo + self.batch_size) < n
+                        batch = (batch, valid)
                     if self.to_device:
                         batch = jax.device_put(batch, self.sharding)
                     q.put(batch)

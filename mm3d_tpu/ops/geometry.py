@@ -140,7 +140,11 @@ def _query_ball_jax(radius: float, nsample: int, xyz: jax.Array,
     first = idx[..., :1]
     # Pad empty slots (sentinel N) with the first hit.  If the centroid is
     # one of the points (always true in sample_and_group) there is >=1 hit.
-    return jnp.where(idx == N, first, idx)
+    out = jnp.where(idx == N, first, idx)
+    # Zero-hit centroids (possible via the public API when new_xyz is not
+    # a subset of xyz) would otherwise return the out-of-range sentinel N
+    # and silently rely on take()'s clipping downstream; clamp to index 0.
+    return jnp.where(out == N, 0, out)
 
 
 def query_ball_point(radius: float, nsample: int, xyz: jax.Array,

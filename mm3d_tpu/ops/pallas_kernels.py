@@ -147,9 +147,11 @@ def _ball_query_kernel(radius2: float, nsample: int, n_actual: int,
         return jnp.where(cand == m, N, cand)
 
     cand = jax.lax.fori_loop(0, min(nsample, n_actual), body, cand)
-    # lineage padding semantics: empty slots repeat the first hit
+    # lineage padding semantics: empty slots repeat the first hit;
+    # zero-hit rows clamp the sentinel to 0 (matches geometry._query_ball_jax)
     first = out_ref[:, 0:1]
-    out_ref[:] = jnp.where(out_ref[:] == N, first, out_ref[:])
+    filled = jnp.where(out_ref[:] == N, first, out_ref[:])
+    out_ref[:] = jnp.where(filled == N, 0, filled)
 
 
 def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,

@@ -105,8 +105,10 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         self.train_pipe = DataPipeline(train_ds, cfg.batch_size, shuffle=True,
                                        seed=cfg.seed, sharding=sh)
+        # pad_remainder: the reference protocol evaluates the FULL test
+        # set; padded rows carry a valid=False mask into the eval step.
         self.test_pipe = DataPipeline(test_ds, cfg.batch_size, shuffle=False,
-                                      sharding=sh)
+                                      sharding=sh, pad_remainder=True)
         kwargs = {}
         if self.task == "classification":
             kwargs = {"num_class": cfg.num_class,
@@ -221,16 +223,17 @@ class Trainer:
         losses = []
         cm = None
         ious, cats = [], []
-        for batch in self.test_pipe.epoch(0):
-            m = self.eval_step(self.state, batch)
+        for batch, valid in self.test_pipe.epoch(0):
+            m = self.eval_step(self.state, batch, valid)
             losses.append(float(m["loss"]))
             total_correct += int(m["correct"])
             total_count += int(m["count"])
             if "cm" in m:
                 cm = m["cm"] if cm is None else cm + m["cm"]
             if "ious" in m:
-                ious.append(np.asarray(m["ious"]))
-                cats.append(np.asarray(m["cats"]))
+                keep = np.asarray(m["valid"]).astype(bool)
+                ious.append(np.asarray(m["ious"])[keep])
+                cats.append(np.asarray(m["cats"])[keep])
         out = {"eval_loss": float(np.mean(losses)) if losses else 0.0}
         if task in ("classification", "fusion_cls"):
             out["instance_acc"] = total_correct / max(total_count, 1)

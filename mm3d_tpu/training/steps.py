@@ -94,50 +94,49 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
                    num_category: int = 16,
                    part_start=None, part_count=None,
                    max_parts: int = 6) -> Callable:
-    """Returns jitted (state, batch) -> per-batch metric pieces.
+    """Returns jitted (state, batch[, valid]) -> per-batch metric pieces.
 
     classification -> dict(loss, correct, cm [C,C])
-    partseg       -> dict(loss, correct, ious [B], cats [B])
+    partseg       -> dict(loss, correct, ious [B], cats [B], valid [B])
     semseg        -> dict(loss, correct, cm [C,C])
+
+    `valid` is an optional [B] bool row mask (full-test-set eval pads the
+    final batch; padded rows are wrap-duplicates and must not count —
+    ADVICE round 1).  Masked rows still contribute to `loss`, which is a
+    diagnostic; accuracy/mIoU/checkpoint selection use correct/count/cm.
     """
 
-    def step(state: TrainState, batch):
+    def step(state: TrainState, batch, valid=None):
         variables = _split_variables(state)
         points = batch["points"] if isinstance(batch, dict) else batch[0]
-        if task == "fusion_cls":
-            target = batch["label"]
+        B = points.shape[0]
+        vm = (jnp.ones((B,), jnp.int32) if valid is None
+              else valid.astype(jnp.int32))
+
+        def scalar_metrics(log_probs, target, aux):
+            # target [B] (cls) or [B,N] (per-point); mask rows by vm
+            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
+            wm = vm.reshape((B,) + (1,) * (target.ndim - 1))
+            hit = (pred == target).astype(jnp.int32) * wm
+            per_row = target.size // B
+            return pred, {
+                "loss": loss_fn(log_probs, target, aux),
+                "correct": jnp.sum(hit),
+                "count": jnp.sum(vm) * per_row,
+                "cm": M.confusion_matrix(pred, target, num_classes,
+                                         weights=wm),
+            }
+
+        if task in ("fusion_cls", "fusion_semseg"):
+            target = batch["label" if task == "fusion_cls" else "seg"]
             log_probs, aux = model.apply(
                 variables, points, batch["image"], batch["K"], batch["R"],
                 batch["t"], train=False)
-            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
-            return {
-                "loss": loss_fn(log_probs, target, aux),
-                "correct": jnp.sum(pred == target),
-                "count": target.size,
-                "cm": M.confusion_matrix(pred, target, num_classes),
-            }
-        if task == "fusion_semseg":
-            target = batch["seg"]
-            log_probs, aux = model.apply(
-                variables, points, batch["image"], batch["K"], batch["R"],
-                batch["t"], train=False)
-            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
-            return {
-                "loss": loss_fn(log_probs, target, aux),
-                "correct": jnp.sum(pred == target),
-                "count": target.size,
-                "cm": M.confusion_matrix(pred, target, num_classes),
-            }
+            return scalar_metrics(log_probs, target, aux)[1]
         if task == "classification":
             target = batch[1]
             log_probs, aux = model.apply(variables, points, train=False)
-            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
-            return {
-                "loss": loss_fn(log_probs, target, aux),
-                "correct": jnp.sum(pred == target),
-                "count": target.size,
-                "cm": M.confusion_matrix(pred, target, num_classes),
-            }
+            return scalar_metrics(log_probs, target, aux)[1]
         if task == "partseg":
             cat, target = batch[1], batch[2]
             onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
@@ -147,23 +146,19 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
             pc = part_count[cat]
             pred = M.masked_part_argmax(log_probs, ps, pc)
             ious = M.shape_ious(pred, target, ps, pc, max_parts)
+            hit = (pred == target).astype(jnp.int32) * vm[:, None]
             return {
                 "loss": loss_fn(log_probs, target, aux),
-                "correct": jnp.sum(pred == target),
-                "count": target.size,
+                "correct": jnp.sum(hit),
+                "count": jnp.sum(vm) * target.shape[1],
                 "ious": ious,
                 "cats": cat,
+                "valid": vm,
             }
         if task == "semseg":
             target = batch[1]
             log_probs, aux = model.apply(variables, points, train=False)
-            pred = jnp.argmax(log_probs, -1).astype(jnp.int32)
-            return {
-                "loss": loss_fn(log_probs, target, aux),
-                "correct": jnp.sum(pred == target),
-                "count": target.size,
-                "cm": M.confusion_matrix(pred, target, num_classes),
-            }
+            return scalar_metrics(log_probs, target, aux)[1]
         raise ValueError(task)
 
     return jax.jit(step)
@@ -198,6 +193,68 @@ def make_vote_partseg_step(model, num_votes: int, num_category: int,
         probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
         ps, pc = part_start[cat], part_count[cat]
         return M.masked_part_argmax(jnp.log(probs + 1e-12), ps, pc)
+
+    return jax.jit(step)
+
+
+def make_vote_fusion_cls_step(model, num_votes: int = 3) -> Callable:
+    """Vote ensembling for the multimodal classifier (config 4): the
+    lineage's rotated-pass averaging applied to the point branch.  Each
+    vote rotates the cloud about Y and compensates the extrinsics
+    (cam = R·x = (R·rotᵀ)·(rot·x), so R' = R @ rotᵀ) — the point→pixel
+    projection and the sampled pixel features are invariant; only the
+    point trunk sees a different pose."""
+
+    def step(state: TrainState, points, image, K, R, t, key):
+        variables = _split_variables(state)
+
+        def probs_of(pts, Rv):
+            log_probs, _ = model.apply(variables, pts, image, K, Rv, t,
+                                       train=False)
+            return jnp.exp(log_probs)
+
+        def one_vote(i, acc):
+            k = jax.random.fold_in(key, i)
+            angle = jax.random.uniform(k, (points.shape[0],)) * 2.0 * jnp.pi
+            rot = aug._rot_y(angle)
+            pts = aug._apply_rot(points, rot, False)
+            Rv = jnp.einsum("bij,bkj->bik", R, rot,
+                            precision=jax.lax.Precision.HIGHEST)
+            return acc + probs_of(pts, Rv)
+
+        probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points, R))
+        return jnp.argmax(probs, -1).astype(jnp.int32)
+
+    return jax.jit(step)
+
+
+def make_vote_fusion_semseg_step(model, num_votes: int = 3) -> Callable:
+    """Vote ensembling for per-point multimodal segmentation (config 5):
+    shuffle-votes like part-seg — permuting the point order changes the
+    FPS seed point and therefore the groupings; probabilities are
+    un-shuffled and averaged.  The image branch and the per-point
+    projection are order-invariant, so no calib compensation is needed."""
+
+    def step(state: TrainState, points, image, K, R, t, key):
+        variables = _split_variables(state)
+        B, N, _ = points.shape
+
+        def probs_of(pts):
+            log_probs, _ = model.apply(variables, pts, image, K, R, t,
+                                       train=False)
+            return jnp.exp(log_probs)
+
+        def one_vote(i, acc):
+            k = jax.random.fold_in(key, i)
+            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
+                jax.random.split(k, B))  # [B,N]
+            shuffled = jnp.take_along_axis(points, perm[..., None], axis=1)
+            p = probs_of(shuffled)
+            inv = jnp.argsort(perm, axis=1)
+            return acc + jnp.take_along_axis(p, inv[..., None], axis=1)
+
+        probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
+        return jnp.argmax(probs, -1).astype(jnp.int32)
 
     return jax.jit(step)
 

@@ -26,11 +26,18 @@ def accuracy(log_probs: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def confusion_matrix(pred: jax.Array, target: jax.Array,
-                     num_classes: int) -> jax.Array:
-    """[C, C] counts, rows = true class, cols = predicted."""
+                     num_classes: int, weights=None) -> jax.Array:
+    """[C, C] counts, rows = true class, cols = predicted.
+
+    `weights` (same shape as pred, int) masks/weights each element —
+    used to exclude padded rows from full-test-set eval batches.
+    """
     idx = target.reshape(-1) * num_classes + pred.reshape(-1)
+    w = (jnp.ones_like(idx, jnp.int32) if weights is None
+         else jnp.broadcast_to(weights, pred.shape).reshape(-1)
+         .astype(jnp.int32))
     cm = jnp.zeros((num_classes * num_classes,), jnp.int32)
-    cm = cm.at[idx].add(1)
+    cm = cm.at[idx].add(w)
     return cm.reshape(num_classes, num_classes)
 
 

@@ -57,14 +57,20 @@ def main(argv=None):
     trainer.log.info("restored checkpoint step %s from %s", step, a.log_dir)
 
     result = trainer.evaluate()
+    # Vote ensembling (the lineage's test-time protocol) for every task
+    # family: cls rotated votes, partseg shuffle votes, fusion_cls rotated
+    # votes with extrinsics compensation, fusion_semseg shuffle votes.
+    # test_pipe pads the final batch; `valid` masks the padded rows.
+    key = jax.random.PRNGKey(a.seed)
     if a.num_votes > 1 and trainer.task == "classification":
         vote = steps.make_vote_eval_step(trainer.model, a.num_votes)
         correct = total = 0
-        key = jax.random.PRNGKey(a.seed)
-        for i, (pts, label) in enumerate(trainer.test_pipe.epoch(0)):
+        for i, ((pts, label), valid) in enumerate(trainer.test_pipe.epoch(0)):
             pred = vote(trainer.state, pts, jax.random.fold_in(key, i))
-            correct += int(np.sum(np.asarray(pred) == np.asarray(label)))
-            total += int(label.size)
+            keep = np.asarray(valid)
+            hit = (np.asarray(pred) == np.asarray(label)) & keep
+            correct += int(hit.sum())
+            total += int(keep.sum())
         result["vote_instance_acc"] = correct / max(total, 1)
     elif a.num_votes > 1 and trainer.task == "partseg":
         from mm3d_tpu.data import synthetic as syn
@@ -76,17 +82,43 @@ def main(argv=None):
                           jnp.int32)
         vote = steps.make_vote_partseg_step(
             trainer.model, a.num_votes, 16, start, count)
-        key = jax.random.PRNGKey(a.seed)
         ious, cats = [], []
-        for i, (pts, cat, seg) in enumerate(trainer.test_pipe.epoch(0)):
+        for i, ((pts, cat, seg), valid) in enumerate(
+                trainer.test_pipe.epoch(0)):
             pred = vote(trainer.state, pts, cat, jax.random.fold_in(key, i))
             sh = M.shape_ious(pred, jnp.asarray(seg), start[cat], count[cat],
                               int(count.max()))
-            ious.append(np.asarray(sh)); cats.append(np.asarray(cat))
+            keep = np.asarray(valid)
+            ious.append(np.asarray(sh)[keep]); cats.append(np.asarray(cat)[keep])
         agg = M.partseg_metrics_host(np.concatenate(ious),
                                      np.concatenate(cats), 16)
         result["vote_instance_miou"] = agg["instance_miou"]
         result["vote_class_miou"] = agg["class_miou"]
+    elif a.num_votes > 1 and trainer.task == "fusion_cls":
+        vote = steps.make_vote_fusion_cls_step(trainer.model, a.num_votes)
+        correct = total = 0
+        for i, (b, valid) in enumerate(trainer.test_pipe.epoch(0)):
+            pred = vote(trainer.state, b["points"], b["image"], b["K"],
+                        b["R"], b["t"], jax.random.fold_in(key, i))
+            keep = np.asarray(valid)
+            hit = (np.asarray(pred) == np.asarray(b["label"])) & keep
+            correct += int(hit.sum())
+            total += int(keep.sum())
+        result["vote_instance_acc"] = correct / max(total, 1)
+    elif a.num_votes > 1 and trainer.task == "fusion_semseg":
+        from mm3d_tpu.utils import metrics as M
+        vote = steps.make_vote_fusion_semseg_step(trainer.model, a.num_votes)
+        cm = None
+        for i, (b, valid) in enumerate(trainer.test_pipe.epoch(0)):
+            pred = vote(trainer.state, b["points"], b["image"], b["K"],
+                        b["R"], b["t"], jax.random.fold_in(key, i))
+            import jax.numpy as jnp
+            wm = jnp.asarray(valid).astype(jnp.int32)[:, None]
+            c = M.confusion_matrix(pred, jnp.asarray(b["seg"]), 13,
+                                   weights=wm)
+            cm = c if cm is None else cm + c
+        _, miou = M.iou_from_confusion(cm)
+        result["vote_miou"] = float(miou)
     trainer.log.info("eval: %s", result)
     print(result)
     return result

@@ -140,6 +140,24 @@ def test_pipeline_batching_and_prefetch():
     assert any(not np.array_equal(a[1], b[1]) for a, b in zip(batches, other))
 
 
+def test_pipeline_pad_remainder_full_coverage():
+    # eval must see the full test set: tail padded + valid mask
+    ds = syn.SyntheticModelNet(num_classes=4, npoints=64, size=10, seed=0)
+    pipe = pipeline.DataPipeline(ds, batch_size=4, shuffle=False,
+                                 to_device=False, pad_remainder=True)
+    assert pipe.steps_per_epoch() == 3  # ceil(10/4)
+    out = list(pipe.epoch(0))
+    assert len(out) == 3
+    (pts, labels), valid = out[-1]
+    assert pts.shape == (4, 64, 3) and valid.shape == (4,)
+    np.testing.assert_array_equal(valid, [True, True, False, False])
+    assert all(v.all() for (_, v) in out[:-1])
+    # padded rows wrap to the first samples
+    first_batch = out[0][0]
+    np.testing.assert_array_equal(pts[2], first_batch[0][0])
+    np.testing.assert_array_equal(pts[3], first_batch[0][1])
+
+
 def test_pipeline_error_propagates():
     class Bad:
         def __len__(self):

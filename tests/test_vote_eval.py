@@ -25,6 +25,67 @@ def test_cls_vote_shapes_and_determinism():
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
+def test_fusion_cls_vote_rotation_keeps_projection_consistent():
+    """The fusion vote rotates the cloud and compensates R: the sampled
+    pixel features must be invariant, so a model that only uses the
+    image branch votes identically across seeds."""
+    spec = get_model("fusion_cls")
+    model = spec.builder(num_class=4)
+    rng = np.random.RandomState(0)
+    B, N = 2, 64
+    pts = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(B, 16, 16, 3).astype(np.float32))
+    K = jnp.broadcast_to(jnp.eye(3) * 8, (B, 3, 3)).astype(jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3)).astype(jnp.float32)
+    t = jnp.tile(jnp.array([0., 0., 3.], jnp.float32), (B, 1))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
+                   train=True)
+    from mm3d_tpu.training.state import TrainState
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                    batch_stats=v["batch_stats"], opt_state=())
+    vote = steps.make_vote_fusion_cls_step(model, num_votes=3)
+    p1 = vote(st, pts, img, K, R, t, jax.random.PRNGKey(5))
+    p2 = vote(st, pts, img, K, R, t, jax.random.PRNGKey(5))
+    assert p1.shape == (B,)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    # projection invariance of the compensation: rotating pts by rot and
+    # using R' = R rotᵀ reproduces the same uv
+    from mm3d_tpu.data import augment as aug
+    from mm3d_tpu.ops import projection as proj
+    angle = jnp.array([0.7, -1.3])
+    rot = aug._rot_y(angle)
+    pts_r = aug._apply_rot(pts, rot, False)
+    Rv = jnp.einsum("bij,bkj->bik", R, rot,
+                    precision=jax.lax.Precision.HIGHEST)
+    uv0, z0 = proj.project_points(pts, K, R, t)
+    uv1, z1 = proj.project_points(pts_r, K, Rv, t)
+    np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=1e-5)
+
+
+def test_fusion_semseg_vote_shapes():
+    spec = get_model("fusion_sem_seg")
+    model = spec.builder(num_class=13)
+    rng = np.random.RandomState(2)
+    B, N = 2, 64
+    pts = jnp.asarray(rng.randn(B, N, 9).astype(np.float32))
+    img = jnp.asarray(rng.rand(B, 16, 16, 3).astype(np.float32))
+    K = jnp.broadcast_to(jnp.eye(3) * 8, (B, 3, 3)).astype(jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3)).astype(jnp.float32)
+    t = jnp.tile(jnp.array([0., 0., 3.], jnp.float32), (B, 1))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
+                   train=True)
+    from mm3d_tpu.training.state import TrainState
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
+                    batch_stats=v["batch_stats"], opt_state=())
+    vote = steps.make_vote_fusion_semseg_step(model, num_votes=2)
+    pred = np.asarray(vote(st, pts, img, K, R, t, jax.random.PRNGKey(3)))
+    assert pred.shape == (B, N)
+    assert pred.min() >= 0 and pred.max() < 13
+
+
 def test_partseg_vote_predictions_in_category_range():
     spec = get_model("pointnet2_part_seg_ssg")
     model = spec.builder()
