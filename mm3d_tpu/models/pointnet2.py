@@ -22,7 +22,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mm3d_tpu import ops
+from mm3d_tpu.ops import dispatch
 from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+
+
+def _want_fused_sa(train: bool, mlp, dtype) -> bool:
+    """Take the fused SA Pallas kernel (eval only, 3-layer MLP shape)?
+
+    In bf16 serving mode the fused kernel is a large win (no [B,S,K,C]
+    HBM round trip).  In strict-fp32 mode its matmuls must run at
+    HIGHEST precision, which costs more than the round trip saves — so
+    fp32 keeps the unfused XLA path unless the mode is explicitly
+    'pallas' (tests / forced kernels).
+    """
+    if train or len(mlp) != 3:
+        return False
+    if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
+        return True
+    return dispatch.get_impl() == "pallas"
 
 
 class SetAbstraction(nn.Module):
@@ -46,6 +63,7 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int] = ()
     group_all: bool = False
     project_first: bool = True
+    knn: bool = False  # kNN grouping instead of ball query
     dtype: Optional[object] = None  # compute dtype for the MLP stack
 
     @nn.compact
@@ -74,16 +92,35 @@ class SetAbstraction(nn.Module):
         pre = cat @ kernel  # [B,N,C1]
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
-        idx = ops.query_ball_point(self.radius, self.nsample, xyz, new_xyz)
-        gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
         cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
+        bn = BatchNorm(name="proj_bn", dtype=self.dtype)
+        rest = (SharedMLP(self.mlp[1:], name="mlp_rest", dtype=self.dtype)
+                if len(self.mlp) > 1 else None)
+
+        fused = (dispatch.kernel_or_none("fused_sa")
+                 if _want_fused_sa(train, self.mlp, self.dtype)
+                 and not self.knn else None)
+        if fused is not None:
+            # eval path: BN folds to an affine map, so the whole SA tail
+            # (ball query + gather + MLP + max) runs as ONE Pallas kernel
+            # with no [B,S,K,C] HBM round trip (BASELINE.json:5).
+            A, C = bn(pre, use_running_average=True, fold=True)
+            (w1, b1), (w2, b2) = rest(pre, fold=True)
+            out = fused(self.radius, self.nsample, xyz, new_xyz,
+                        pre * A, (bias - cterm) * A + C, w1, b1, w2, b2)
+            return new_xyz, out
+
+        if self.knn:
+            idx = ops.knn_point(self.nsample, xyz, new_xyz)
+        else:
+            idx = ops.query_ball_point(self.radius, self.nsample,
+                                       xyz, new_xyz)
+        gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
         h = gathered - cterm[:, :, None, :] + bias
-        h = BatchNorm(name="proj_bn", dtype=self.dtype)(
-            h, use_running_average=not train, momentum=bn_momentum)
+        h = bn(h, use_running_average=not train, momentum=bn_momentum)
         h = nn.relu(h)
-        if len(self.mlp) > 1:
-            h = SharedMLP(self.mlp[1:], name="mlp_rest",
-                          dtype=self.dtype)(h, train, bn_momentum)
+        if rest is not None:
+            h = rest(h, train, bn_momentum)
         return new_xyz, jnp.max(h, axis=2)
 
 
@@ -106,7 +143,6 @@ class SetAbstractionMsg(nn.Module):
         cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
         outs = []
         for i, (r, k) in enumerate(zip(self.radius_list, self.nsample_list)):
-            idx = ops.query_ball_point(r, k, xyz, new_xyz)
             mlp = self.mlp_list[i]
             if self.project_first:
                 kernel = self.param(f"proj_kernel_{i}",
@@ -119,16 +155,33 @@ class SetAbstractionMsg(nn.Module):
                     cati = cat.astype(self.dtype)
                     kerneli = kernel.astype(self.dtype)
                     biasi = bias.astype(self.dtype)
-                gathered = ops.index_points(cati @ kerneli, idx)
-                cterm = new_xyz.astype(gathered.dtype) @ kerneli[:3]
+                pre = cati @ kerneli
+                cterm = new_xyz.astype(pre.dtype) @ kerneli[:3]
+                bn = BatchNorm(name=f"proj_bn_{i}", dtype=self.dtype)
+                rest = (SharedMLP(mlp[1:], name=f"mlp_rest_{i}",
+                                  dtype=self.dtype)
+                        if len(mlp) > 1 else None)
+                fused = (dispatch.kernel_or_none("fused_sa")
+                         if _want_fused_sa(train, mlp, self.dtype)
+                         else None)
+                if fused is not None:
+                    # one fused kernel per scale (see SetAbstraction)
+                    A, C = bn(pre, use_running_average=True, fold=True)
+                    (w1, b1), (w2, b2) = rest(pre, fold=True)
+                    outs.append(fused(r, k, xyz, new_xyz, pre * A,
+                                      (biasi - cterm) * A + C,
+                                      w1, b1, w2, b2))
+                    continue
+                idx = ops.query_ball_point(r, k, xyz, new_xyz)
+                gathered = ops.index_points(pre, idx)
                 h = gathered - cterm[:, :, None, :] + biasi
-                h = BatchNorm(name=f"proj_bn_{i}", dtype=self.dtype)(
-                    h, use_running_average=not train, momentum=bn_momentum)
+                h = bn(h, use_running_average=not train,
+                       momentum=bn_momentum)
                 h = nn.relu(h)
-                if len(mlp) > 1:
-                    h = SharedMLP(mlp[1:], name=f"mlp_rest_{i}",
-                                  dtype=self.dtype)(h, train, bn_momentum)
+                if rest is not None:
+                    h = rest(h, train, bn_momentum)
             else:
+                idx = ops.query_ball_point(r, k, xyz, new_xyz)
                 grouped_xyz = (ops.index_points(xyz, idx)
                                - new_xyz[:, :, None, :])
                 if feats is not None:
@@ -222,6 +275,7 @@ class PointNet2ClsSSG(nn.Module):
 
     num_class: int = 40
     normal_channel: bool = False
+    knn: bool = False  # kNN-grouping variant (exceeds-lineage option)
     dtype: Optional[object] = None  # bf16 inference mode
 
     @nn.compact
@@ -231,9 +285,11 @@ class PointNet2ClsSSG(nn.Module):
         xyz = points[..., :3]
         feats = points[..., 3:6] if self.normal_channel else None
         xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1",
+                                knn=self.knn,
                                 dtype=self.dtype)(xyz, feats, train,
                                                   bn_momentum)
         xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2",
+                                knn=self.knn,
                                 dtype=self.dtype)(xyz, f, train, bn_momentum)
         _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
                               name="sa3", dtype=self.dtype)(

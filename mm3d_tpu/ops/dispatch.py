@@ -62,6 +62,23 @@ def _on_tpu() -> bool:
         return False
 
 
+def kernel_or_none(name: str):
+    """Return the registered kernel for `name` if the active mode selects
+    kernels (pallas always; auto only on TPU), else None.
+
+    Used by ops with no pure-JAX twin under the same signature (e.g. the
+    fused SA kernel, whose fallback is the unfused module path)."""
+    mode = _mode()
+    if mode == "jax":
+        return None
+    kern = _KERNELS.get(name)
+    if kern is None:
+        return None
+    if mode == "pallas":
+        return kern
+    return kern if _on_tpu() else None
+
+
 def resolve(name: str, jax_fn: Callable) -> Callable:
     """Pick the active implementation for op `name`."""
     mode = _mode()

@@ -52,20 +52,57 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     return s2 - 2.0 * cross + jnp.swapaxes(d2, -1, -2)
 
 
-def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
-    """Batched gather: points[B,N,C], idx[B,...] -> [B,...,C].
-
-    Implemented as one flat row-gather over [B*N, C] (global indices):
-    on TPU this lowers to a single large dynamic-gather, measured ~2x
-    faster than per-batch take_along_axis for the small-C point clouds
-    these models gather.
-    """
+def _index_points_impl(points: jax.Array, idx: jax.Array) -> jax.Array:
     B, N, C = points.shape
     flat = points.reshape(B * N, C)
     offs = (jnp.arange(B, dtype=idx.dtype) * N).reshape(
         (B,) + (1,) * (idx.ndim - 1))
     out = jnp.take(flat, (idx + offs).reshape(-1), axis=0)
     return out.reshape(*idx.shape, C)
+
+
+@jax.custom_vjp
+def _index_points_cv(points: jax.Array, idx: jax.Array) -> jax.Array:
+    return _index_points_impl(points, idx)
+
+
+def _index_points_fwd(points, idx):
+    return _index_points_impl(points, idx), (idx, points.shape[1])
+
+
+def _index_points_bwd(res, g):
+    idx, n = res
+    kern = dispatch.kernel_or_none("gather_backward")
+    if kern is not None:
+        # TPU: one-hot-transpose MXU matmul kernel — XLA's scatter-add
+        # transpose of the gather serializes (SURVEY.md §7(c))
+        d = kern(g, idx, n)
+    else:
+        B = g.shape[0]
+        C = g.shape[-1]
+        flat = jnp.zeros((B * n, C), g.dtype)
+        offs = (jnp.arange(B, dtype=idx.dtype) * n).reshape(
+            (B,) + (1,) * (idx.ndim - 1))
+        d = flat.at[(idx + offs).reshape(-1)].add(
+            g.reshape(-1, C)).reshape(B, n, C)
+    import numpy as _np
+    return d, _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_index_points_cv.defvjp(_index_points_fwd, _index_points_bwd)
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: points[B,N,C], idx[B,...] -> [B,...,C].
+
+    Implemented as one flat row-gather over [B*N, C] (global indices):
+    on TPU this lowers to a single large dynamic-gather, measured ~2x
+    faster than per-batch take_along_axis for the small-C point clouds
+    these models gather.  Carries a custom VJP whose backward is the
+    Pallas one-hot-transpose matmul on TPU (the training bottleneck —
+    VERDICT r1 item 3) and an explicit flat scatter-add elsewhere.
+    """
+    return _index_points_cv(points, idx)
 
 
 def index_points_onehot(points: jax.Array, idx: jax.Array) -> jax.Array:

@@ -123,6 +123,15 @@ def fps_pallas(xyz: jax.Array, npoint: int, start_idx=0,
 
 def _ball_query_kernel(radius2: float, nsample: int, n_actual: int,
                        new_ref, xyz_ref, out_ref):
+    """First-K selection as a k-step extract-min over masked lane iotas.
+
+    (A rank-prefix-sum variant with K independent masked-min extractions
+    was raced on real v5e and lost — 5.7 ms vs 4.4 ms at S=512,K=32,
+    N=1024: the log-shift prefix scan plus K full-width masked mins cost
+    more VPU work than the serial chain saves in pipelining.  The fused
+    SA kernel DOES use the rank trick, because there the one-hot it
+    produces feeds the MXU gather directly and the extraction loop
+    disappears entirely.)"""
     St = new_ref.shape[0]
     _, N = xyz_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
@@ -152,6 +161,100 @@ def _ball_query_kernel(radius2: float, nsample: int, n_actual: int,
     first = out_ref[:, 0:1]
     filled = jnp.where(out_ref[:] == N, first, out_ref[:])
     out_ref[:] = jnp.where(filled == N, 0, filled)
+
+
+def _ball_query_v2_kernel(radius2: float, nsample: int, n_actual: int,
+                          new_ref, xyz_ref, out_ref):
+    """Rank-scan ball query with MXU index extraction.
+
+    Instead of a K-step serial extract-min (K×~2 VPU passes over
+    [st, N]), compute each lane's hit rank with ONE log2(N) shift-add
+    prefix scan, build the [st*K, N] one-hot (rank == k+1), and extract
+    the winning lane *indices* on the MXU: lane ids split into two
+    bf16-exact byte planes (hi = lane>>7, lo = lane&127 — both < 256)
+    so `onehot @ [hi, lo]` recovers them exactly in one matmul.
+    """
+    St = new_ref.shape[0]
+    _, N = xyz_ref.shape
+    K = nsample
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+    a = new_ref[:]
+    b = xyz_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    R = St * K
+    rank_rep = jnp.broadcast_to(rank[:, None, :], (St, K, N)).reshape(R, N)
+    kv = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
+    oh = (rank_rep == kv + 1).astype(jnp.bfloat16)
+
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+    planes = jnp.where(col == 0, lane_r >> 7,
+                       jnp.where(col == 1, lane_r & 127, 0)
+                       ).astype(jnp.bfloat16)
+    ext = jnp.dot(oh, planes,
+                  preferred_element_type=jnp.float32)  # [R, 128]
+    idx = (ext[:, 0].astype(jnp.int32) * 128
+           + ext[:, 1].astype(jnp.int32)).reshape(St, K)
+
+    # lineage padding: empty slots repeat the first hit; zero-hit rows 0
+    first = idx[:, 0:1]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (St, K), 1)
+    idx = jnp.where(k_iota < jnp.maximum(cnt, 1), idx, first)
+    kpad = out_ref.shape[1]
+    if kpad > K:
+        idx = jnp.pad(idx, ((0, 0), (0, kpad - K)))
+    out_ref[:] = idx
+
+
+def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
+                         new_xyz: jax.Array,
+                         interpret: bool = None) -> jax.Array:
+    """Rank-scan ball query (same contract as ball_query_pallas)."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    Np = _round_up(N, 128)
+    Sp = _round_up(S, 8)
+    Kp = _round_up(nsample, 128)
+
+    xyz_t = jnp.pad(
+        jnp.swapaxes(xyz.astype(jnp.float32), 1, 2),
+        ((0, 0), (0, 5), (0, Np - N)))
+    new_p = jnp.pad(new_xyz.astype(jnp.float32),
+                    ((0, 0), (0, Sp - S), (0, 5)))
+
+    # the [st*K, Np] one-hot (bf16) is the big VMEM tenant
+    budget = 4 * 1024 * 1024
+    stk_cap = max(8, budget // (2 * Np))
+    st = min(Sp, max(1, stk_cap // nsample))
+    while Sp % st:
+        st -= 1
+    grid = (B, Sp // st)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        functools.partial(_ball_query_v2_kernel, radius * radius,
+                          nsample, N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, st, 8), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Np), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, st, Kp), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, Kp), jnp.int32),
+        interpret=interpret,
+    )(new_p, xyz_t)
+    return out[:, :S, :nsample]
 
 
 def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
@@ -276,10 +379,376 @@ def three_nn_pallas(xyz1: jax.Array, xyz2: jax.Array,
     return d[:, :N, :3], i[:, :N, :3]
 
 
+# ------------------------------------------------ fused SA block kernel
+
+
+def _prefix_count(mask_i32: jax.Array, lane: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of a 0/1 int32 mask along lanes.
+
+    log2(N) shift-adds (pltpu.roll + zero-fill mask) — this replaces the
+    k-step extract-min selection of the standalone ball-query kernel:
+    after the scan, the k-th accepted neighbor of each row is simply the
+    lane where rank == k+1.
+    """
+    _, N = mask_i32.shape
+    acc = mask_i32
+    s = 1
+    while s < N:
+        sh = pltpu.roll(acc, s, axis=1)
+        acc = acc + jnp.where(lane >= s, sh, 0)
+        s *= 2
+    return acc
+
+
+def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
+                     new_ref, xyzt_ref, pre_ref, cbias_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    """One SA block tail in one kernel: ball query + neighbor gather +
+    (BN-folded) 2-layer shared MLP + max over neighbors.
+
+    The [S,K,C] grouped tensor never exists in HBM: the k-th neighbor's
+    one-hot row (rank == k+1) feeds the MXU gather directly, stacked as
+    one [St*K, N] matmul operand (north star BASELINE.json:5 — "shared
+    MLPs fused into the grouping gather"; SURVEY.md:82,88).
+    """
+    St = new_ref.shape[0]
+    _, N = xyzt_ref.shape
+    K = nsample
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+
+    # squared distances, same formula/precision as the ball-query kernel
+    a = new_ref[:]          # [St, 8] (xyz padded to 8 lanes)
+    b = xyzt_ref[:]         # [8, N]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    # stack the K one-hots per centroid: row r = s*K + k
+    R = St * K
+    Cb = cbias_ref.shape[-1]
+    rank_rep = jnp.broadcast_to(rank[:, None, :], (St, K, N)).reshape(R, N)
+    lane_rep = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    kv = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
+    cnt_rep = jnp.broadcast_to(cnt[:, None, :], (St, K, 1)).reshape(R, 1)
+    oh = rank_rep == kv + 1
+    # zero-hit centroids clamp to index 0 (lineage padding semantics)
+    oh = oh | ((kv == 0) & (cnt_rep == 0) & (lane_rep == 0))
+
+    pre = pre_ref[:]        # [N, C1p], BN pre-folded
+    dt = pre.dtype
+    # f32 inputs must not decay to the default bf16 matmul passes (the
+    # MLP must match the XLA path at fp32 tolerance — CLAUDE.md
+    # invariant).  The big N-contraction gather dot exploits that the
+    # 0/1 one-hot is EXACT in bf16: only `pre` needs widening, so a
+    # 3-term bf16 split (~2^-24 rel) runs 3 MXU passes where HIGHEST
+    # would re-widen both operands in 6.
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    ohb = oh.astype(jnp.bfloat16)
+    if dt == jnp.float32:
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+    else:
+        g = jnp.dot(ohb, pre, preferred_element_type=jnp.float32)
+    cb = cbias_ref[:]
+    cb_rep = jnp.broadcast_to(cb[:, None, :], (St, K, Cb)).reshape(R, Cb)
+    h = jnp.maximum(g.astype(dt) + cb_rep, 0.0)
+    h = jnp.dot(h, w1_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+
+    # rows beyond the hit count are padding duplicates in the reference
+    # semantics — mask them out of the max (k=0 is always live)
+    live = kv < jnp.maximum(cnt_rep, 1)
+    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
+    out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
+
+
+def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
+                    new_xyz: jax.Array, pre: jax.Array, cbias: jax.Array,
+                    w1: jax.Array, b1: jax.Array, w2: jax.Array,
+                    b2: jax.Array, interpret: bool = None) -> jax.Array:
+    """Fused SA tail: returns max_k MLP(gather(pre)[.,k] + cbias) [B,S,C3].
+
+    Args:
+      radius, nsample: ball-query params (exact lineage semantics).
+      xyz [B,N,3] f32, new_xyz [B,S,3] f32: points / FPS centroids.
+      pre [B,N,C1]: first-MLP-layer projection of the inputs with the
+        eval-mode BN scale folded in (see models.pointnet2.SetAbstraction).
+      cbias [B,S,C1]: per-centroid additive term (recentering + folded
+        BN shift + bias).
+      w1 [C1,C2], b1 [C2], w2 [C2,C3], b2 [C3]: BN-folded rest layers.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    C1, C2, C3 = pre.shape[-1], w1.shape[-1], w2.shape[-1]
+    dt = pre.dtype
+    dsz = jnp.dtype(dt).itemsize
+    Np = _round_up(N, 128)
+    Sp = _round_up(S, 8)
+    C1p, C2p, C3p = (_round_up(c, 128) for c in (C1, C2, C3))
+
+    xyz_t = jnp.pad(
+        jnp.swapaxes(xyz.astype(jnp.float32), 1, 2),
+        ((0, 0), (0, 5), (0, Np - N)))
+    new_p = jnp.pad(new_xyz.astype(jnp.float32),
+                    ((0, 0), (0, Sp - S), (0, 5)))
+    pre_p = jnp.pad(pre, ((0, 0), (0, Np - N), (0, C1p - C1)))
+    cb_p = jnp.pad(cbias.astype(dt), ((0, 0), (0, Sp - S), (0, C1p - C1)))
+    w1_p = jnp.pad(w1.astype(dt), ((0, C1p - C1), (0, C2p - C2)))
+    w2_p = jnp.pad(w2.astype(dt), ((0, C2p - C2), (0, C3p - C3)))
+    b1_p = jnp.broadcast_to(jnp.pad(b1.astype(dt), (0, C2p - C2)),
+                            (8, C2p))
+    b2_p = jnp.broadcast_to(jnp.pad(b2.astype(dt), (0, C3p - C3)),
+                            (8, C3p))
+
+    # centroid-tile: the [st*K, Np] one-hot stack is the big VMEM tenant
+    budget = 4 * 1024 * 1024
+    stk_cap = max(8, budget // (dsz * Np))
+    st = min(Sp, max(1, stk_cap // nsample))
+    while Sp % st:
+        st -= 1
+    grid = (B, Sp // st)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        functools.partial(_fused_sa_kernel, radius * radius, nsample, N),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, st, 8), lambda bb, s: (bb, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Np), lambda bb, s: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Np, C1p), lambda bb, s: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, st, C1p), lambda bb, s: (bb, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C1p, C2p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C2p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2p, C3p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C3p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, st, C3p), lambda bb, s: (bb, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, C3p), dt),
+        interpret=interpret,
+    )(new_p, xyz_t, pre_p, cb_p, w1_p, b1_p, w2_p, b2_p)
+    return out[:, :S, :C3]
+
+
+# ------------------------------------ fused bilinear image sampling kernel
+
+
+def _bilinear_kernel(H: int, W: int, feat_ref, uv_ref, out_ref):
+    """Per-point bilinear sampling as ONE sparse-matrix MXU matmul.
+
+    Each point's interpolation is a 4-nonzero row over the flattened
+    H*W pixel axis; the row is built on the VPU (4 compares + fma) and
+    the gather+lerp collapses into a single [nt, HW] x [HW, C] matmul —
+    no 4-corner gather round trip (BASELINE.json:5 "fused point->pixel
+    projection + bilinear-sampling kernel"; SURVEY.md:89).
+    """
+    nt = uv_ref.shape[0]
+    HWp = feat_ref.shape[0]
+    u = uv_ref[:, 0:1]      # [nt, 1] f32
+    v = uv_ref[:, 1:2]
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    du = u - x0
+    dv = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    hw = jax.lax.broadcasted_iota(jnp.int32, (nt, HWp), 1)
+
+    wsp = jnp.zeros((nt, HWp), jnp.float32)
+    for dx, dy, wgt in ((0, 0, (1 - du) * (1 - dv)),
+                        (1, 0, du * (1 - dv)),
+                        (0, 1, (1 - du) * dv),
+                        (1, 1, du * dv)):
+        xi = x0i + dx
+        yi = y0i + dy
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.where(inside, yi * W + xi, -1)
+        wsp = wsp + jnp.where(hw == idx, wgt, 0.0)
+
+    feat = feat_ref[:]
+    prec = (jax.lax.Precision.HIGHEST if feat.dtype == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    out_ref[:] = jnp.dot(wsp.astype(feat.dtype), feat, precision=prec,
+                         preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
+def bilinear_sample_pallas_raw(feat: jax.Array, uv: jax.Array,
+                               interpret: bool = None) -> jax.Array:
+    """feat [B,H,W,C], uv [B,N,2] pixel coords -> [B,N,C], zero-padded
+    outside the frame (same contract as projection._bilinear_sample_jax)."""
+    B, H, W, C = feat.shape
+    N = uv.shape[1]
+    HW = H * W
+    HWp = _round_up(HW, 8)
+    Cp = _round_up(C, 128)
+    Np_ = _round_up(N, 8)
+    featf = jnp.pad(feat.reshape(B, HW, C),
+                    ((0, 0), (0, HWp - HW), (0, Cp - C)))
+    # pad uv with -10 (far outside) so padded rows sample zero
+    uvp = jnp.pad(uv.astype(jnp.float32), ((0, 0), (0, Np_ - N), (0, 126)),
+                  constant_values=-10.0)
+    budget = 4 * 1024 * 1024
+    nt = min(Np_, max(8, (budget // (4 * HWp)) // 8 * 8))
+    while Np_ % nt:
+        nt -= 8
+    grid = (B, Np_ // nt)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        functools.partial(_bilinear_kernel, H, W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, HWp, Cp), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nt, 128), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, nt, Cp), lambda b, n: (b, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np_, Cp), feat.dtype),
+        interpret=interpret,
+    )(featf, uvp)
+    return out[:, :N, :C]
+
+
+@jax.custom_vjp
+def bilinear_sample_pallas(feat: jax.Array, uv: jax.Array) -> jax.Array:
+    return bilinear_sample_pallas_raw(feat, uv)
+
+
+def _bilinear_fwd(feat, uv):
+    return bilinear_sample_pallas_raw(feat, uv), (feat, uv)
+
+
+def _bilinear_bwd(res, g):
+    # training path: differentiate the (equivalent) pure-JAX sampling —
+    # gradients flow to both the feature map and the pixel coords
+    from mm3d_tpu.ops import projection as _proj
+    feat, uv = res
+    _, vjp = jax.vjp(_proj._bilinear_sample_jax, feat, uv)
+    return vjp(g)
+
+
+bilinear_sample_pallas.defvjp(_bilinear_fwd, _bilinear_bwd)
+
+
+# ------------------------------------------- gather backward (scatter-add)
+
+
+def _gather_bwd_kernel(g_ref, idx_ref, out_ref):
+    """Accumulate d_points[n] += g[f] for every f with idx[f] == n.
+
+    The scatter-add transpose of the grouping gather, reformulated as a
+    one-hot-transpose MXU matmul per index tile (SURVEY.md §7 hard part
+    (c): "segment_sum layout, avoid serialized atomics-equivalent") —
+    XLA's native scatter lowering serializes on TPU.  Output block is
+    revisited across the f grid axis and accumulated in VMEM (f32).
+    """
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[:]        # [1, ft] i32, padding slots are -1
+    g = g_ref[:]            # [ft, Cp]
+    Np = out_ref.shape[0]
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (Np, idx.shape[1]), 0)
+    oh = (n_iota == idx).astype(jnp.bfloat16)
+    if g.dtype == jnp.float32:
+        # 0/1 one-hot is EXACT in bf16, so only g needs widening: split
+        # g = hi + mid + lo (three bf16 terms ≈ full f32 mantissa) and
+        # run THREE 1-pass bf16 MXU matmuls with f32 accumulation — vs
+        # the 6 passes HIGHEST would spend re-widening BOTH operands.
+        # |err| ~ 2^-24 relative, far inside the 1e-5 parity gates.
+        hi = g.astype(jnp.bfloat16)
+        r1 = g - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+               + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
+               + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+    else:
+        acc = jnp.dot(oh, g.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def gather_bwd_pallas(g: jax.Array, idx: jax.Array, n: int,
+                      interpret: bool = None) -> jax.Array:
+    """Backward of `index_points`: g [B, ..., C], idx [B, ...] -> [B, n, C].
+
+    Duplicated indices accumulate (ball-query padding repeats hits).
+    """
+    B, C = g.shape[0], g.shape[-1]
+    F = 1
+    for d in idx.shape[1:]:
+        F *= d
+    dt = g.dtype
+    dsz = jnp.dtype(dt).itemsize
+    Fp = _round_up(F, 128)
+    Cp = _round_up(C, 128)
+    Np = _round_up(n, 8)
+    gf = jnp.pad(g.reshape(B, F, C), ((0, 0), (0, Fp - F), (0, Cp - C)))
+    # pad with -1: no output row matches, so padding contributes zero
+    idxf = jnp.pad(idx.reshape(B, 1, F).astype(jnp.int32),
+                   ((0, 0), (0, 0), (0, Fp - F)), constant_values=-1)
+    budget = 4 * 1024 * 1024
+    ft = min(Fp, max(128, (budget // (dsz * Np)) // 128 * 128))
+    while Fp % ft:
+        ft -= 128
+    grid = (B, Fp // ft)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        _gather_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, ft, Cp), lambda b, f: (b, f, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, ft), lambda b, f: (b, 0, f),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, Np, Cp), lambda b, f: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, Cp), jnp.float32),
+        interpret=interpret,
+    )(gf, idxf)
+    return out[:, :n, :C].astype(dt)
+
+
 def _register():
     dispatch.register_kernel("farthest_point_sample", fps_pallas)
     dispatch.register_kernel("query_ball_point", ball_query_pallas)
     dispatch.register_kernel("three_nn", three_nn_pallas)
+    dispatch.register_kernel("fused_sa", fused_sa_pallas)
+    dispatch.register_kernel("gather_backward", gather_bwd_pallas)
+    dispatch.register_kernel("bilinear_sample", bilinear_sample_pallas)
 
 
 _register()

@@ -10,6 +10,7 @@ per-point argmax comes back to the host.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -66,6 +67,20 @@ def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
     return np.stack(feats_l), np.stack(idx_l)
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _accumulate_votes(votes, pidx, probs, live):
+    """Scatter-add one batch of block probabilities into the room-sized
+    vote buffer, entirely on device (VERDICT r1 weak-5: the host
+    `np.add.at` loop serializes at real room scale ~1M pts x 13 cls).
+
+    votes [Nroom, C] (donated), pidx [B, npoints] int32,
+    probs [B, npoints, C], live [B] 0/1 mask for padding blocks.
+    """
+    C = votes.shape[-1]
+    contrib = probs * live[:, None, None]
+    return votes.at[pidx.reshape(-1)].add(contrib.reshape(-1, C))
+
+
 def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
                    labels: Optional[np.ndarray] = None,
                    rgb: Optional[np.ndarray] = None,
@@ -81,20 +96,19 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
     """
     feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
     nblocks = feats.shape[0]
-    votes = np.zeros((len(xyz), num_classes), np.float32)
+    votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
     pad = (-nblocks) % batch_size
     if pad:
         feats = np.concatenate([feats, feats[:pad]], 0)
         pidx = np.concatenate([pidx, pidx[:pad]], 0)
     for s in range(0, nblocks + pad, batch_size):
         chunk = jnp.asarray(feats[s:s + batch_size])
-        logp = np.asarray(predict_fn(chunk))
-        probs = np.exp(logp)
-        for b in range(batch_size):
-            gi = s + b
-            if gi >= nblocks:
-                break
-            np.add.at(votes, pidx[gi], probs[b])
+        logp = predict_fn(chunk)
+        live = jnp.asarray(
+            (s + np.arange(batch_size) < nblocks).astype(np.float32))
+        votes = _accumulate_votes(votes, jnp.asarray(pidx[s:s + batch_size]),
+                                  jnp.exp(logp), live)
+    votes = np.asarray(votes)  # single D2H fetch of the whole room
     seen = votes.sum(-1) > 0
     pred = votes.argmax(-1).astype(np.int32)
     metrics: Dict[str, float] = {"coverage": float(seen.mean())}

@@ -47,7 +47,10 @@ def chain_time(fn: Callable, x, *rest, k1: int = 5, k2: int = 25,
             out = fn(p, *rest)
             # tiny additive dependency — NOT multiplied by zero (XLA would
             # constant-fold the dependency away and unserialize the chain)
-            return p + 1e-12 * jnp.mean(out.astype(jnp.float32))
+            # cast back: bf16 carries otherwise promote to f32 and break
+            # the fori_loop carry-type invariant
+            return (p + 1e-12 * jnp.mean(out.astype(jnp.float32))).astype(
+                x.dtype)
         return jax.lax.fori_loop(0, n, body, x)
 
     np.asarray(chain(x, k1, *rest))

@@ -69,6 +69,61 @@ def main():
     if not ok:
         failures.append("dispatch")
 
+    # fused SA kernel (ball query + gather + MLP + max in one Pallas call)
+    # vs the unfused project_first composition, compiled, fp32
+    from mm3d_tpu.ops import geometry as G
+    rng = np.random.RandomState(7)
+    pre = jnp.asarray(rng.randn(B, N, 64).astype(np.float32))
+    cb = jnp.asarray(rng.randn(B, S, 64).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(64, 64).astype(np.float32) * .2)
+    b1 = jnp.asarray(rng.randn(64).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(64, 128).astype(np.float32) * .2)
+    b2 = jnp.asarray(rng.randn(128).astype(np.float32))
+    new = xyz[:, :S]
+
+    def unfused(p):
+        i2 = pk.ball_query_pallas(r, K, xyz, new)
+        g = G.index_points(p, i2)
+        h = jax.nn.relu(g + cb[:, :, None, :])
+        h = jax.nn.relu(h @ w1 + b1)
+        h = jax.nn.relu(h @ w2 + b2)
+        return jnp.max(h, axis=2)
+
+    # pin the XLA reference to true-f32 matmuls: the kernel runs its f32
+    # dots at HIGHEST, while XLA's TPU default is bf16 passes (~1e-3 rel)
+    with jax.default_matmul_precision("highest"):
+        want_f = np.asarray(jax.jit(unfused)(pre))
+    got_f = np.asarray(jax.jit(
+        lambda p: pk.fused_sa_pallas(r, K, xyz, new, p, cb,
+                                     w1, b1, w2, b2))(pre))
+    ok = np.allclose(got_f, want_f, rtol=1e-5, atol=1e-4)
+    print(f"fused_sa_pallas == unfused composition (fp32): {bool(ok)} "
+          f"(maxdiff {np.abs(got_f - want_f).max():.3g})")
+    if not ok:
+        failures.append("fused_sa")
+
+    # full-model eval logits: fused Pallas path vs pure-JAX path on TPU
+    from mm3d_tpu.models import get_model
+    spec = get_model("pointnet2_cls_ssg")
+    model = spec.builder(num_class=10)
+    pts = jnp.asarray(rng.randn(8, 1024, 3).astype(np.float32) * 0.5)
+    variables = jax.jit(
+        lambda p: model.init({"params": jax.random.PRNGKey(0),
+                              "dropout": jax.random.PRNGKey(1)},
+                             p, train=True))(pts)
+    with ops.use_impl("jax"):
+        lp_jax, _ = jax.jit(
+            lambda v, p: model.apply(v, p, train=False))(variables, pts)
+    with ops.use_impl("auto"):
+        lp_pal, _ = jax.jit(
+            lambda v, p: model.apply(v, p, train=False))(variables, pts)
+    d = np.abs(np.asarray(lp_jax) - np.asarray(lp_pal)).max()
+    ok = d < 1e-3
+    print(f"pn2_cls_ssg eval logits pallas-vs-jax on TPU: {bool(ok)} "
+          f"(maxdiff {d:.3g})")
+    if not ok:
+        failures.append("model_fused_logits")
+
     if failures:
         print("FAILED:", failures)
         sys.exit(1)

@@ -1,0 +1,114 @@
+"""Fused SA kernel (ball query + gather + MLP + max in one Pallas call).
+
+The fused kernel is the eval-path implementation of the north star's
+"shared MLPs fused into the grouping gather" clause (BASELINE.json:5,
+SURVEY.md:82,88).  It must match the unfused project_first composition —
+the path the logits-parity suite already ties to the torch oracle.
+
+Interpret mode on CPU here; scripts/run_tpu_checks.py re-checks compiled.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm3d_tpu import ops
+from mm3d_tpu.ops import geometry as G
+from mm3d_tpu.ops import pallas_kernels as pk
+
+
+def _mk(seed, B, N, S, C1, C2, C3):
+    r = np.random.RandomState(seed)
+    xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32) * 0.5)
+    fidx = G.farthest_point_sample(xyz, S)
+    new_xyz = G.index_points(xyz, fidx)
+    pre = jnp.asarray(r.randn(B, N, C1).astype(np.float32))
+    cbias = jnp.asarray(r.randn(B, S, C1).astype(np.float32))
+    w1 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(r.randn(C2).astype(np.float32))
+    w2 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(r.randn(C3).astype(np.float32))
+    return xyz, new_xyz, pre, cbias, w1, b1, w2, b2
+
+
+def _ref(radius, K, xyz, new_xyz, pre, cbias, w1, b1, w2, b2):
+    idx = G.query_ball_point(radius, K, xyz, new_xyz)
+    g = G.index_points(pre, idx)
+    h = jax.nn.relu(g + cbias[:, :, None, :])
+    h = jax.nn.relu(h @ w1 + b1)
+    h = jax.nn.relu(h @ w2 + b2)
+    return jnp.max(h, axis=2)
+
+
+@pytest.mark.parametrize("B,N,S,K,radius", [
+    (2, 96, 24, 16, 0.4),     # N not a multiple of 128
+    (1, 128, 8, 8, 0.15),     # small radius -> sparse/zero-hit rows
+    (2, 160, 40, 48, 1.5),    # nsample > typical hit count AND > padding
+])
+def test_fused_sa_matches_unfused(B, N, S, K, radius):
+    args = _mk(0, B, N, S, 24, 16, 40)
+    want = _ref(radius, K, *args)
+    got = pk.fused_sa_pallas(radius, K, *args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_zero_hit_centroid():
+    xyz, new_xyz, pre, cbias, w1, b1, w2, b2 = _mk(1, 2, 96, 16, 12, 16, 24)
+    new_xyz = new_xyz.at[:, 0].set(100.0)  # no points within radius
+    want = _ref(0.4, 8, xyz, new_xyz, pre, cbias, w1, b1, w2, b2)
+    got = pk.fused_sa_pallas(0.4, 8, xyz, new_xyz, pre, cbias, w1, b1, w2,
+                             b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_bf16_close():
+    args = _mk(2, 2, 128, 32, 24, 24, 32)
+    want = np.asarray(_ref(0.4, 16, *args), np.float32)
+    bf = [a.astype(jnp.bfloat16) if a.dtype == jnp.float32 and a is not args[0]
+          and a is not args[1] else a for a in args]
+    got = np.asarray(pk.fused_sa_pallas(0.4, 16, *bf, interpret=True),
+                     np.float32)
+    assert np.max(np.abs(got - want) / (np.abs(want) + 1)) < 0.05
+
+
+def test_sa_module_fused_path_matches_jax():
+    """SetAbstraction eval with the fused kernel == pure-JAX path,
+    including the BN fold (running stats made nontrivial first)."""
+    from mm3d_tpu.models.pointnet2 import SetAbstraction
+
+    r = np.random.RandomState(3)
+    xyz = jnp.asarray(r.randn(2, 128, 3).astype(np.float32) * 0.5)
+    feats = jnp.asarray(r.randn(2, 128, 5).astype(np.float32))
+    sa = SetAbstraction(32, 0.4, 16, (24, 24, 48))
+    v = sa.init(jax.random.PRNGKey(0), xyz, feats, train=True)
+    _, mut = sa.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+    v = {**v, "batch_stats": mut["batch_stats"]}
+    with ops.use_impl("jax"):
+        nx1, f1 = sa.apply(v, xyz, feats, train=False)
+    with ops.use_impl("pallas"):
+        nx2, f2 = sa.apply(v, xyz, feats, train=False)
+    assert np.array_equal(np.asarray(nx1), np.asarray(nx2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_msg_module_fused_path_matches_jax():
+    from mm3d_tpu.models.pointnet2 import SetAbstractionMsg
+
+    r = np.random.RandomState(4)
+    xyz = jnp.asarray(r.randn(2, 128, 3).astype(np.float32) * 0.5)
+    feats = jnp.asarray(r.randn(2, 128, 5).astype(np.float32))
+    msg = SetAbstractionMsg(32, (0.2, 0.4), (8, 16),
+                            ((16, 16, 32), (16, 24, 32)))
+    v = msg.init(jax.random.PRNGKey(0), xyz, feats, train=True)
+    _, mut = msg.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+    v = {**v, "batch_stats": mut["batch_stats"]}
+    with ops.use_impl("jax"):
+        _, g1 = msg.apply(v, xyz, feats, train=False)
+    with ops.use_impl("pallas"):
+        _, g2 = msg.apply(v, xyz, feats, train=False)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)

@@ -27,7 +27,8 @@ def _points(b=2, n=128, c=3, seed=0):
 
 
 @pytest.mark.parametrize("name,nclass", [
-    ("pointnet_cls", 40), ("pointnet2_cls_ssg", 40), ("pointnet2_cls_msg", 40)])
+    ("pointnet_cls", 40), ("pointnet2_cls_ssg", 40), ("pointnet2_cls_msg", 40),
+    ("pointnet2_cls_knn", 40)])
 def test_cls_models_forward(name, nclass):
     spec = get_model(name)
     pts = _points(2, 256)
