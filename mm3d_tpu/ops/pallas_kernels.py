@@ -164,16 +164,24 @@ def _ball_query_kernel(radius2: float, nsample: int, n_actual: int,
 
 
 def _ball_query_v2_kernel(radius2: float, nsample: int, n_actual: int,
-                          new_ref, xyz_ref, out_ref):
-    """Rank-scan ball query with MXU index extraction.
+                          use_tri: bool, new_ref, xyz_ref, *rest_refs):
+    """Rank-scan ball query with MXU rank computation + index extraction.
 
     Instead of a K-step serial extract-min (K×~2 VPU passes over
-    [st, N]), compute each lane's hit rank with ONE log2(N) shift-add
-    prefix scan, build the [st*K, N] one-hot (rank == k+1), and extract
-    the winning lane *indices* on the MXU: lane ids split into two
-    bf16-exact byte planes (hi = lane>>7, lo = lane&127 — both < 256)
-    so `onehot @ [hi, lo]` recovers them exactly in one matmul.
+    [st, N]), compute each lane's hit rank in ONE matmul — the 0/1
+    in-ball mask is exact in bf16, so `in_ball @ lower_triangular_ones`
+    is an exact inclusive prefix count on the MXU (tri_ref is passed in;
+    for N beyond the VMEM budget the wrapper falls back to a log2(N)
+    shift-add scan signalled by a [8,128] dummy).  Then build the
+    [st*K, N] one-hot (rank == k+1) and extract the winning lane
+    *indices* on the MXU too: lane ids split into two bf16-exact byte
+    planes (hi = lane>>7, lo = lane&127 — both < 256) so
+    `onehot @ [hi, lo]` recovers them exactly in one matmul.
     """
+    if use_tri:
+        tri_ref, out_ref = rest_refs
+    else:
+        (out_ref,) = rest_refs
     St = new_ref.shape[0]
     _, N = xyz_ref.shape
     K = nsample
@@ -186,7 +194,12 @@ def _ball_query_v2_kernel(radius2: float, nsample: int, n_actual: int,
     b2 = jnp.sum(b * b, axis=0, keepdims=True)
     d2 = a2 - 2.0 * cross + b2
     in_ball = (d2 <= radius2) & (lane < n_actual)
-    rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    if use_tri:
+        rank = jnp.dot(in_ball.astype(jnp.bfloat16), tri_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32) * in_ball
+    else:
+        rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
     cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
 
     R = St * K
@@ -230,8 +243,24 @@ def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
     new_p = jnp.pad(new_xyz.astype(jnp.float32),
                     ((0, 0), (0, Sp - S), (0, 5)))
 
+    # MXU rank path needs the [Np, Np] triangular-ones operand resident
+    # in VMEM; raced on v5e it wins only at Np=1024-2048 (at Np<=512 the
+    # [st, Np] scan is cheap and the tri matmul's low-row-count MXU
+    # passes + smaller tiles cost more; past 2048 the operand exceeds
+    # the VMEM budget) -> scan everywhere else
+    use_tri = 1024 <= Np <= 2048
+    extra_in = []
+    extra_specs = []
+    if use_tri:
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+               <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+               ).astype(jnp.bfloat16)
+        extra_in = [tri]
+        extra_specs = [pl.BlockSpec((Np, Np), lambda b, s: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+
     # the [st*K, Np] one-hot (bf16) is the big VMEM tenant
-    budget = 4 * 1024 * 1024
+    budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
     stk_cap = max(8, budget // (2 * Np))
     st = min(Sp, max(1, stk_cap // nsample))
     while Sp % st:
@@ -241,19 +270,19 @@ def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
         interpret = not _on_tpu()
     out = pl.pallas_call(
         functools.partial(_ball_query_v2_kernel, radius * radius,
-                          nsample, N),
+                          nsample, N, use_tri),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, st, 8), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, Np), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((None, st, Kp), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Sp, Kp), jnp.int32),
         interpret=interpret,
-    )(new_p, xyz_t)
+    )(new_p, xyz_t, *extra_in)
     return out[:, :S, :nsample]
 
 
@@ -401,8 +430,7 @@ def _prefix_count(mask_i32: jax.Array, lane: jax.Array) -> jax.Array:
 
 
 def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
-                     new_ref, xyzt_ref, pre_ref, cbias_ref,
-                     w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+                     use_tri: bool, new_ref, xyzt_ref, *rest_refs):
     """One SA block tail in one kernel: ball query + neighbor gather +
     (BN-folded) 2-layer shared MLP + max over neighbors.
 
@@ -411,6 +439,12 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     one [St*K, N] matmul operand (north star BASELINE.json:5 — "shared
     MLPs fused into the grouping gather"; SURVEY.md:82,88).
     """
+    if use_tri:
+        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    else:
+        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
     St = new_ref.shape[0]
     _, N = xyzt_ref.shape
     K = nsample
@@ -426,7 +460,15 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     d2 = a2 - 2.0 * cross + b2
 
     in_ball = (d2 <= radius2) & (lane < n_actual)
-    rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    if use_tri:
+        # MXU inclusive prefix count: 0/1 mask is exact in bf16, so one
+        # [St,N]@[N,N] triangular matmul replaces the log2(N) shift-add
+        # VPU scan (the scan was the kernel's dominant cost)
+        rank = jnp.dot(in_ball.astype(jnp.bfloat16), tri_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.int32) * in_ball
+    else:
+        rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
     cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
 
     # stack the K one-hots per centroid: row r = s*K + k
@@ -516,8 +558,20 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     b2_p = jnp.broadcast_to(jnp.pad(b2.astype(dt), (0, C3p - C3)),
                             (8, C3p))
 
+    # MXU rank operand (see ball_query_v2_pallas: wins only 1024-2048)
+    use_tri = 1024 <= Np <= 2048
+    tri_in = []
+    tri_specs = []
+    if use_tri:
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+               <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+               ).astype(jnp.bfloat16)
+        tri_in = [tri]
+        tri_specs = [pl.BlockSpec((Np, Np), lambda bb, s: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+
     # centroid-tile: the [st*K, Np] one-hot stack is the big VMEM tenant
-    budget = 4 * 1024 * 1024
+    budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
     stk_cap = max(8, budget // (dsz * Np))
     st = min(Sp, max(1, stk_cap // nsample))
     while Sp % st:
@@ -526,13 +580,15 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     if interpret is None:
         interpret = not _on_tpu()
     out = pl.pallas_call(
-        functools.partial(_fused_sa_kernel, radius * radius, nsample, N),
+        functools.partial(_fused_sa_kernel, radius * radius, nsample, N,
+                          use_tri),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, st, 8), lambda bb, s: (bb, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 8, Np), lambda bb, s: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + tri_specs + [
             pl.BlockSpec((None, Np, C1p), lambda bb, s: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, st, C1p), lambda bb, s: (bb, s, 0),
@@ -550,7 +606,7 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Sp, C3p), dt),
         interpret=interpret,
-    )(new_p, xyz_t, pre_p, cb_p, w1_p, b1_p, w2_p, b2_p)
+    )(new_p, xyz_t, *tri_in, pre_p, cb_p, w1_p, b1_p, w2_p, b2_p)
     return out[:, :S, :C3]
 
 
@@ -660,7 +716,7 @@ bilinear_sample_pallas.defvjp(_bilinear_fwd, _bilinear_bwd)
 # ------------------------------------------- gather backward (scatter-add)
 
 
-def _gather_bwd_kernel(g_ref, idx_ref, out_ref):
+def _gather_bwd_kernel(c_true, g_ref, idx_ref, out_ref):
     """Accumulate d_points[n] += g[f] for every f with idx[f] == n.
 
     The scatter-add transpose of the grouping gather, reformulated as a
@@ -678,21 +734,35 @@ def _gather_bwd_kernel(g_ref, idx_ref, out_ref):
     idx = idx_ref[:]        # [1, ft] i32, padding slots are -1
     g = g_ref[:]            # [ft, Cp]
     Np = out_ref.shape[0]
+    Cp = out_ref.shape[1]
     n_iota = jax.lax.broadcasted_iota(jnp.int32, (Np, idx.shape[1]), 0)
     oh = (n_iota == idx).astype(jnp.bfloat16)
     if g.dtype == jnp.float32:
         # 0/1 one-hot is EXACT in bf16, so only g needs widening: split
-        # g = hi + mid + lo (three bf16 terms ≈ full f32 mantissa) and
-        # run THREE 1-pass bf16 MXU matmuls with f32 accumulation — vs
-        # the 6 passes HIGHEST would spend re-widening BOTH operands.
-        # |err| ~ 2^-24 relative, far inside the 1e-5 parity gates.
+        # g = hi + mid + lo (three bf16 terms ≈ full f32 mantissa) with
+        # f32 accumulation — vs the 6 passes HIGHEST would spend
+        # re-widening BOTH operands.  |err| ~ 2^-24 relative, far
+        # inside the 1e-5 parity gates.  When the true channel count
+        # fits in a 64-lane half tile (c_true <= 64, e.g. SA1's C=64 or
+        # xyz's C=3), hi and mid ride ONE matmul side by side in the
+        # otherwise-wasted lane padding — 2 matmuls instead of 3.
         hi = g.astype(jnp.bfloat16)
         r1 = g - hi.astype(jnp.float32)
         mid = r1.astype(jnp.bfloat16)
         lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-               + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
-               + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+        if c_true <= 64 and Cp == 128:
+            packed = jnp.concatenate(
+                [hi[:, :64], mid[:, :64]], axis=1)  # [ft, 128]
+            both = jnp.dot(oh, packed,
+                           preferred_element_type=jnp.float32)
+            acc = jnp.pad(both[:, :64] + both[:, 64:128],
+                          ((0, 0), (0, Cp - 64)))
+            acc = acc + jnp.dot(oh, lo,
+                                preferred_element_type=jnp.float32)
+        else:
+            acc = (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+                   + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
+                   + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
     else:
         acc = jnp.dot(oh, g.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
@@ -726,7 +796,7 @@ def gather_bwd_pallas(g: jax.Array, idx: jax.Array, n: int,
     if interpret is None:
         interpret = not _on_tpu()
     out = pl.pallas_call(
-        _gather_bwd_kernel,
+        functools.partial(_gather_bwd_kernel, C),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, ft, Cp), lambda b, f: (b, f, 0),
@@ -744,7 +814,10 @@ def gather_bwd_pallas(g: jax.Array, idx: jax.Array, n: int,
 
 def _register():
     dispatch.register_kernel("farthest_point_sample", fps_pallas)
-    dispatch.register_kernel("query_ball_point", ball_query_pallas)
+    # v2 (rank-scan + MXU extraction) raced v1 (k-step extract-min) on
+    # real v5e and won at every model shape: 1.4x @ SA1, 4.7x @ SA2,
+    # 1.1x @ semseg — see scripts/proto_bq_v2.py
+    dispatch.register_kernel("query_ball_point", ball_query_v2_pallas)
     dispatch.register_kernel("three_nn", three_nn_pallas)
     dispatch.register_kernel("fused_sa", fused_sa_pallas)
     dispatch.register_kernel("gather_backward", gather_bwd_pallas)

@@ -51,7 +51,12 @@ def chain_time(fn: Callable, x, *rest, k1: int = 5, k2: int = 25,
             # the fori_loop carry-type invariant
             return (p + 1e-12 * jnp.mean(out.astype(jnp.float32))).astype(
                 x.dtype)
-        return jax.lax.fori_loop(0, n, body, x)
+        # reduce the carry to a scalar BEFORE the host fetch: for MB-
+        # scale carriers the D2H transfer over the tunnel takes seconds
+        # with second-scale variance, swamping the per-iteration slope
+        # (this produced negative "timings" on 268 MB gradients)
+        return jnp.mean(jax.lax.fori_loop(0, n, body, x)
+                        .astype(jnp.float32))
 
     np.asarray(chain(x, k1, *rest))
     np.asarray(chain(x, k2, *rest))
