@@ -79,9 +79,15 @@ def main():
     run(K1, b0)  # warm both trace shapes (n_loops is traced, same graph)
     run(K2, b0)
 
-    t0 = time.perf_counter(); run(K1, b1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(K2, b1); t2 = time.perf_counter() - t0
-    per_fwd = (t2 - t1) / (K2 - K1)
+    # the shared chip shows ±15% minute-scale variance through the
+    # tunnel: time each chain length 3x and slope the per-side minima
+    # (min-of-each-side is the clean-run estimate; min-of-slopes would
+    # be optimistically biased by a slow short-chain run)
+    t1s, t2s = [], []
+    for _ in range(5):
+        t0 = time.perf_counter(); run(K1, b1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(K2, b1); t2s.append(time.perf_counter() - t0)
+    per_fwd = (min(t2s) - min(t1s)) / (K2 - K1)
 
     clouds_per_s = BATCH / per_fwd
     print(json.dumps({

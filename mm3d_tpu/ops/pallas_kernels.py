@@ -260,14 +260,17 @@ def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
                                     memory_space=pltpu.VMEM)]
 
     # the [st*K, Np] one-hot (bf16) is the big VMEM tenant
-    budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
-    stk_cap = max(8, budget // (2 * Np))
-    st = min(Sp, max(1, stk_cap // nsample))
-    while Sp % st:
-        st -= 1
-    grid = (B, Sp // st)
     if interpret is None:
         interpret = not _on_tpu()
+    if interpret:
+        st = Sp
+    else:
+        budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
+        stk_cap = max(8, budget // (2 * Np))
+        st = min(Sp, max(1, stk_cap // nsample))
+        while Sp % st:
+            st -= 1
+    grid = (B, Sp // st)
     out = pl.pallas_call(
         functools.partial(_ball_query_v2_kernel, radius * radius,
                           nsample, N, use_tri),
@@ -304,13 +307,13 @@ def ball_query_pallas(radius: float, nsample: int, xyz: jax.Array,
     # centroid-tile size bounded by VMEM: the d² tile is [st, Np] f32 and
     # the candidate tile another [st, Np] i32 (~8 MB budget of the 16 MB
     # scoped limit).
-    st_cap = max(8, (4 * 1024 * 1024) // (4 * Np))
+    if interpret is None:
+        interpret = not _on_tpu()
+    st_cap = Sp if interpret else max(8, (4 * 1024 * 1024) // (4 * Np))
     st = Sp
     while st > st_cap and st % 2 == 0:
         st //= 2
     grid = (B, Sp // st)
-    if interpret is None:
-        interpret = not _on_tpu()
     out = pl.pallas_call(
         functools.partial(_ball_query_kernel, radius * radius, nsample, N),
         grid=grid,
@@ -571,14 +574,17 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
                                   memory_space=pltpu.VMEM)]
 
     # centroid-tile: the [st*K, Np] one-hot stack is the big VMEM tenant
-    budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
-    stk_cap = max(8, budget // (dsz * Np))
-    st = min(Sp, max(1, stk_cap // nsample))
-    while Sp % st:
-        st -= 1
-    grid = (B, Sp // st)
     if interpret is None:
         interpret = not _on_tpu()
+    if interpret:
+        st = Sp  # no VMEM limit; fewer (Python-level) grid steps
+    else:
+        budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
+        stk_cap = max(8, budget // (dsz * Np))
+        st = min(Sp, max(1, stk_cap // nsample))
+        while Sp % st:
+            st -= 1
+    grid = (B, Sp // st)
     out = pl.pallas_call(
         functools.partial(_fused_sa_kernel, radius * radius, nsample, N,
                           use_tri),
@@ -651,6 +657,119 @@ def _bilinear_kernel(H: int, W: int, feat_ref, uv_ref, out_ref):
     out_ref[:] = jnp.dot(wsp.astype(feat.dtype), feat, precision=prec,
                          preferred_element_type=jnp.float32
                          ).astype(out_ref.dtype)
+
+
+def _three_interp_kernel(m_actual: int, pts_ref, idx_ref, wgt_ref,
+                         out_ref):
+    """Inverse-distance interpolation as ONE sparse-row MXU matmul.
+
+    Each dense point's feature is a 3-nonzero weighted combination of
+    sparse rows — the same shape as the bilinear image-sampling kernel
+    (4 corners there, 3 neighbors here): build the [nt, M] sparse
+    weight rows on the VPU, then one matmul against the sparse feature
+    block.  f32 weights AND features each get a bf16 hi/lo split (one
+    side exact is not available here), 3 matmuls ~1e-6 relative.
+    SURVEY.md:87 ("fused Pallas gather+weighted-sum").
+    """
+    nt = idx_ref.shape[0]
+    Mp = pts_ref.shape[0]
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (nt, Mp), 1)
+    wsp = jnp.zeros((nt, Mp), jnp.float32)
+    for k in range(3):
+        wsp = wsp + jnp.where(m_iota == idx_ref[:, k:k + 1],
+                              wgt_ref[:, k:k + 1], 0.0)
+    pts = pts_ref[:]
+    if pts.dtype == jnp.float32:
+        # 3-term bf16 split of BOTH operands, keeping the 6 cross
+        # products above 2^-24: full-f32 fidelity (~1e-7 rel) at a
+        # fraction of HIGHEST's cost and trivial FLOPs at FP shapes
+        def split3(v):
+            hi = v.astype(jnp.bfloat16)
+            r1 = v - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, mid, lo
+
+        wh, wm, wl = split3(wsp)
+        ph, pm, plo = split3(pts)
+
+        def d(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        acc = (d(wh, ph) + d(wh, pm) + d(wh, plo)
+               + d(wm, ph) + d(wm, pm) + d(wl, ph))
+    else:
+        acc = jnp.dot(wsp.astype(pts.dtype), pts,
+                      preferred_element_type=jnp.float32)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def three_interpolate_pallas_raw(points: jax.Array, idx: jax.Array,
+                                 weight: jax.Array,
+                                 interpret: bool = None) -> jax.Array:
+    """points [B,M,C], idx [B,N,3] i32, weight [B,N,3] -> [B,N,C]."""
+    B, M, C = points.shape
+    N = idx.shape[1]
+    Mp = _round_up(M, 8)
+    Cp = _round_up(C, 128)
+    Np_ = _round_up(N, 8)
+    pts_p = jnp.pad(points, ((0, 0), (0, Mp - M), (0, Cp - C)))
+    # pad idx with -1 (no sparse row matches) and weight with 0
+    idx_p = jnp.pad(idx.astype(jnp.int32),
+                    ((0, 0), (0, Np_ - N), (0, 125)), constant_values=-1)
+    wgt_p = jnp.pad(weight.astype(jnp.float32),
+                    ((0, 0), (0, Np_ - N), (0, 125)))
+    if interpret is None:
+        interpret = not _on_tpu()
+    if interpret:
+        nt = Np_
+    else:
+        budget = 4 * 1024 * 1024
+        nt = min(Np_, max(8, (budget // (4 * Mp)) // 8 * 8))
+        while Np_ % nt:
+            nt -= 8
+    grid = (B, Np_ // nt)
+    out = pl.pallas_call(
+        functools.partial(_three_interp_kernel, M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Mp, Cp), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nt, 128), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nt, 128), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, nt, Cp), lambda b, n: (b, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np_, Cp), points.dtype),
+        interpret=interpret,
+    )(pts_p, idx_p, wgt_p)
+    return out[:, :N, :C]
+
+
+@jax.custom_vjp
+def three_interpolate_pallas(points: jax.Array, idx: jax.Array,
+                             weight: jax.Array) -> jax.Array:
+    return three_interpolate_pallas_raw(points, idx, weight)
+
+
+def _three_interp_fwd(points, idx, weight):
+    return three_interpolate_pallas_raw(points, idx, weight), \
+        (points, idx, weight)
+
+
+def _three_interp_bwd(res, g):
+    # differentiate the equivalent pure-JAX form: d_points routes through
+    # index_points' custom VJP (the Pallas scatter-add on TPU), d_weight
+    # is a small gather-dot
+    from mm3d_tpu.ops import geometry as _G
+    points, idx, weight = res
+    _, vjp = jax.vjp(_G._three_interpolate_jax, points, idx, weight)
+    return vjp(g)
+
+
+three_interpolate_pallas.defvjp(_three_interp_fwd, _three_interp_bwd)
 
 
 def bilinear_sample_pallas_raw(feat: jax.Array, uv: jax.Array,
@@ -788,13 +907,16 @@ def gather_bwd_pallas(g: jax.Array, idx: jax.Array, n: int,
     # pad with -1: no output row matches, so padding contributes zero
     idxf = jnp.pad(idx.reshape(B, 1, F).astype(jnp.int32),
                    ((0, 0), (0, 0), (0, Fp - F)), constant_values=-1)
-    budget = 4 * 1024 * 1024
-    ft = min(Fp, max(128, (budget // (dsz * Np)) // 128 * 128))
-    while Fp % ft:
-        ft -= 128
-    grid = (B, Fp // ft)
     if interpret is None:
         interpret = not _on_tpu()
+    if interpret:
+        ft = Fp
+    else:
+        budget = 4 * 1024 * 1024
+        ft = min(Fp, max(128, (budget // (dsz * Np)) // 128 * 128))
+        while Fp % ft:
+            ft -= 128
+    grid = (B, Fp // ft)
     out = pl.pallas_call(
         functools.partial(_gather_bwd_kernel, C),
         grid=grid,
@@ -819,6 +941,12 @@ def _register():
     # 1.1x @ semseg — see scripts/proto_bq_v2.py
     dispatch.register_kernel("query_ball_point", ball_query_v2_pallas)
     dispatch.register_kernel("three_nn", three_nn_pallas)
+    # three_interpolate_pallas is implemented + parity-tested but NOT
+    # registered: raced on v5e at the semseg FP shape ([8,4096]<-1024,
+    # C=256) it measured 0.54 ms vs XLA's 0.42 — the 6-pass f32
+    # splitting outweighs what the 3-row gather fusion saves, and the
+    # scatter-add BACKWARD (the expensive side) already routes through
+    # gather_bwd_pallas via index_points' custom VJP either way.
     dispatch.register_kernel("fused_sa", fused_sa_pallas)
     dispatch.register_kernel("gather_backward", gather_bwd_pallas)
     dispatch.register_kernel("bilinear_sample", bilinear_sample_pallas)

@@ -363,13 +363,19 @@ class _Plan:
         per_row = (2 * self.Np + 512 + 12 * self.C1p
                    + 8 * self.C2p + 8 * self.C3p)
         budget = 6 * 1024 * 1024
-        st = min(self.Sp, max(1, (budget // per_row) // K))
-        while self.Sp % st:
-            st -= 1
+        self.interpret = (not _on_tpu()) if interpret is None else interpret
+        if self.interpret:
+            # no VMEM limit in the interpreter, and each grid step is a
+            # Python-level loop iteration — one full-size tile makes the
+            # CPU test suite several times faster
+            st = self.Sp
+        else:
+            st = min(self.Sp, max(1, (budget // per_row) // K))
+            while self.Sp % st:
+                st -= 1
         self.st = st
         self.R = st * K
         self.grid = (B, self.Sp // st)
-        self.interpret = (not _on_tpu()) if interpret is None else interpret
 
     # block spec helpers
     def b_idx(self):

@@ -17,10 +17,11 @@ Sequence/point-axis parallelism (SURVEY.md §2.5): the reference's
 by FPS-downsampling to a fixed npoint and block-cropping scenes — there
 is no attention over N, so ring-attention-style SP is not applicable.
 For N >> 1e5 single-cloud workloads the N axis shards over the mesh:
-see `sharded_fps.py` for the implemented SPMD FPS (local min-distance
-caches + two tiny collectives per step, exact single-device semantics).
-Ball-query/grouping under point sharding remains future work (not
-needed for parity; max N here is 4096).
+`sharded_fps.py` implements SPMD FPS (local min-distance caches + two
+tiny collectives per step) and `sharded_group.py` implements ball query
+and the whole SA tail under point sharding (rank bookkeeping + the
+max-distributes-over-shards identity; O(S·K) collectives) — both exact
+vs the single-device ops on 4/8-device meshes.
 """
 
 from __future__ import annotations

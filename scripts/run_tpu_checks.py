@@ -49,6 +49,31 @@ def main():
     if not ok:
         failures.append("ball_query")
 
+    got = np.asarray(jax.jit(
+        lambda a, b: pk.ball_query_v2_pallas(r, K, a, b))(xyz, new))
+    ok = (got == want).all()
+    print(f"ball_query_v2_pallas (default kernel) == torch oracle: "
+          f"{bool(ok)}")
+    if not ok:
+        failures.append("ball_query_v2")
+
+    # gather backward (training path): pallas one-hot-transpose matmul
+    # vs explicit scatter-add on-chip
+    from mm3d_tpu.ops import geometry as G
+    idxg = jnp.asarray(got[:, :S].astype(np.int32))
+    gco = jnp.asarray(np.random.RandomState(3).randn(
+        B, S, K, 64).astype(np.float32))
+    gp = np.asarray(jax.jit(
+        lambda g: pk.gather_bwd_pallas(g, idxg, N))(gco))
+    flat = np.zeros((B * N, 64), np.float32)
+    offs = (np.arange(B) * N).reshape(B, 1, 1)
+    np.add.at(flat, np.asarray(idxg + offs).reshape(-1),
+              np.asarray(gco).reshape(-1, 64))
+    ok = np.allclose(gp, flat.reshape(B, N, 64), rtol=1e-5, atol=1e-4)
+    print(f"gather_bwd_pallas == scatter-add on TPU: {bool(ok)}")
+    if not ok:
+        failures.append("gather_bwd")
+
     dense = xyz
     sparse = xyz[:, :128]
     gd, gi = np.asarray(jax.jit(pk.three_nn_pallas)(dense, sparse)[0]), \

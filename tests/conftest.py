@@ -34,7 +34,7 @@ if not os.environ.get("MM3D_TEST_TPU"):
     os.makedirs(_cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

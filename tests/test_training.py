@@ -45,8 +45,8 @@ def test_pointnet2_trains_and_learns(tmp_path):
     # bn momentum 0.5: running var starts at 1.0 and the true activation
     # variance is ~1e-3, so the default 0.1 momentum needs ~100+ steps to
     # converge before eval mode is meaningful (torch-identical behavior).
-    cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=4,
-                    train_size=64, test_size=32, batch_size=8,
+    cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=3,
+                    train_size=48, test_size=32, batch_size=8,
                     bn_init_momentum=0.5, augmentations=())
     tr = Trainer(cfg)
     result = tr.fit()
