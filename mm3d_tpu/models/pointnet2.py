@@ -151,8 +151,22 @@ class SetAbstraction(nn.Module):
         else:
             idx = ops.query_ball_point(self.radius, self.nsample,
                                        xyz, new_xyz)
-        gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
-        h = gathered - cterm[:, :, None, :] + bias
+        if self.dtype is not None and train:
+            # bf16 training: `gathered - cterm` cancels two O(1) terms
+            # to recover the small local-geometry signal — in bf16 that
+            # cancellation leaves ~5 bits and training plateaus
+            # (measured: train acc stuck ~55% where fp32 reaches 67%+).
+            # Recenter in f32, cast after; the extra f32 gather traffic
+            # is the price of a trainable bf16 mode.
+            pre32 = cat.astype(jnp.float32) @ kernel.astype(jnp.float32)
+            ct32 = (new_xyz.astype(jnp.float32)
+                    @ kernel[:3].astype(jnp.float32))
+            gathered = ops.index_points(pre32, idx)
+            h = (gathered - ct32[:, :, None, :]
+                 + bias.astype(jnp.float32)).astype(self.dtype)
+        else:
+            gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
+            h = gathered - cterm[:, :, None, :] + bias
         h = bn(h, use_running_average=not train, momentum=bn_momentum)
         h = nn.relu(h)
         if rest is not None:
@@ -228,8 +242,20 @@ class SetAbstractionMsg(nn.Module):
                     outs.append(o)
                     continue
                 idx = ops.query_ball_point(r, k, xyz, new_xyz)
-                gathered = ops.index_points(pre, idx)
-                h = gathered - cterm[:, :, None, :] + biasi
+                if self.dtype is not None and train:
+                    # f32 recentering under bf16 training — see
+                    # SetAbstraction (cancellation eats the local
+                    # geometry signal in bf16)
+                    pre32 = (cat.astype(jnp.float32)
+                             @ kernel.astype(jnp.float32))
+                    ct32 = (new_xyz.astype(jnp.float32)
+                            @ kernel[:3].astype(jnp.float32))
+                    gathered = ops.index_points(pre32, idx)
+                    h = (gathered - ct32[:, :, None, :]
+                         + bias.astype(jnp.float32)).astype(self.dtype)
+                else:
+                    gathered = ops.index_points(pre, idx)
+                    h = gathered - cterm[:, :, None, :] + biasi
                 h = bn(h, use_running_average=not train,
                        momentum=bn_momentum)
                 h = nn.relu(h)
@@ -365,6 +391,7 @@ class PointNet2ClsMSG(nn.Module):
 
     num_class: int = 40
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
@@ -374,23 +401,24 @@ class PointNet2ClsMSG(nn.Module):
         feats = points[..., 3:6] if self.normal_channel else None
         xyz, f = SetAbstractionMsg(
             512, (0.1, 0.2, 0.4), (16, 32, 128),
-            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1")(
-                xyz, feats, train, bn_momentum)
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1",
+            dtype=self.dtype)(xyz, feats, train, bn_momentum)
         xyz, f = SetAbstractionMsg(
             128, (0.2, 0.4, 0.8), (32, 64, 128),
-            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), name="sa2")(
-                xyz, f, train, bn_momentum)
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), name="sa2",
+            dtype=self.dtype)(xyz, f, train, bn_momentum)
         _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                              name="sa3")(xyz, f, train, bn_momentum)
+                              name="sa3", dtype=self.dtype)(
+                                  xyz, f, train, bn_momentum)
         h = f[:, 0]
         for i, (w, p) in enumerate(((512, 0.4), (256, 0.5))):
-            h = nn.Dense(w, name=f"fc{i+1}")(h)
-            h = BatchNorm(name=f"bn{i+1}")(
+            h = nn.Dense(w, name=f"fc{i+1}", dtype=self.dtype)(h)
+            h = BatchNorm(name=f"bn{i+1}", dtype=self.dtype)(
                 h, use_running_average=not train, momentum=bn_momentum)
             h = nn.relu(h)
             h = nn.Dropout(p, deterministic=det, name=f"drop{i+1}")(h)
-        h = nn.Dense(self.num_class, name="fc3")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_class, name="fc3", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
 # ----------------------------------------------------------- part-seg models

@@ -56,6 +56,12 @@ class TrainConfig:
     class_weights: Optional[Sequence[float]] = None  # semseg label weights
     image_hw: tuple = (64, 64)
     fusion: str = "concat"  # fusion head for fusion_* models
+    # "bfloat16" = mixed-precision training: bf16 network compute, f32
+    # master params/optimizer (the standard TPU recipe; bf16's f32-range
+    # exponent needs no loss scaling).  Measured 42.2 -> 24.9 ms per
+    # step on v5e for pn2_cls_ssg B=64 and converges on the synthetic
+    # tasks; the fp32 default remains the torch-parity mode.
+    dtype: str = "float32"
 
 
 def build_datasets(cfg: TrainConfig, task: str):
@@ -122,7 +128,24 @@ class Trainer:
                       "normal_channel": cfg.normal_channel}
         elif self.task == "fusion_semseg":
             kwargs = {"num_class": 13}
-        self.model = self.spec.builder(**kwargs)
+        eval_model_kwargs = dict(kwargs)
+        if cfg.dtype == "bfloat16":
+            kwargs["dtype"] = jnp.bfloat16
+        try:
+            self.model = self.spec.builder(**kwargs)
+        except TypeError:
+            # model family without a compute-dtype knob: train in f32
+            kwargs.pop("dtype", None)
+            print(f"[mm3d] {cfg.model} has no bf16 mode; training fp32")
+            self.model = self.spec.builder(**kwargs)
+        # mixed-precision mode trains in bf16 but EVALUATES in f32 on
+        # the same (f32 master) params: during BN warm-up the eval-mode
+        # activations are far from unit scale and bf16's 8-bit mantissa
+        # cannot carry them against the O(1) affine terms (measured:
+        # bf16 eval collapsed to ~10% while bf16 train-side accuracy
+        # tracked f32).  Eval is a tiny fraction of step time.
+        self.eval_model = (self.spec.builder(**eval_model_kwargs)
+                           if cfg.dtype == "bfloat16" else self.model)
         self.tx = make_optimizer(cfg.optimizer, cfg.weight_decay)
 
         example = self._example_batch(train_ds)
@@ -152,7 +175,7 @@ class Trainer:
                             "fusion_cls": cfg.num_class,
                             "fusion_semseg": 13}[self.task]
         self.eval_step = steps.make_eval_step(
-            self.model, self.spec.loss, self.task, num_eval_classes,
+            self.eval_model, self.spec.loss, self.task, num_eval_classes,
             num_category=cfg.num_category, **eval_kwargs)
 
         self.run_dir = create_run_dir(cfg.log_dir, self.task, cfg.run_name)

