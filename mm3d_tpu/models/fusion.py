@@ -44,18 +44,22 @@ class PointTrunkCls(nn.Module):
 class PointTrunkDense(nn.Module):
     """SA×2 down + FP×2 up -> [B, N, 128] per-point features."""
 
+    dtype: object = None
+
     @nn.compact
     def __call__(self, xyz, feats=None, train: bool = True,
                  bn_momentum: float = 0.1):
         l1_xyz, l1_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
-                                      name="sa1")(xyz, feats, train,
-                                                  bn_momentum)
+                                      name="sa1", dtype=self.dtype)(
+                                          xyz, feats, train, bn_momentum)
         l2_xyz, l2_f = SetAbstraction(64, 0.4, 64, (128, 128, 256),
-                                      name="sa2")(l1_xyz, l1_f, train,
-                                                  bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2")(
+                                      name="sa2", dtype=self.dtype)(
+                                          l1_xyz, l1_f, train, bn_momentum)
+        l1_f = FeaturePropagation((256, 128), name="fp2",
+                                  dtype=self.dtype)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
-        l0_f = FeaturePropagation((128, 128), name="fp1")(
+        l0_f = FeaturePropagation((128, 128), name="fp1",
+                                  dtype=self.dtype)(
             xyz, l1_xyz, feats, l1_f, train, bn_momentum)
         return l0_f
 
@@ -127,15 +131,17 @@ class FusionSemSeg(nn.Module):
     num_class: int = 13
     fusion: str = "concat"
     image_stride: int = 4
+    dtype: object = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, image, K, R, t, train: bool = True,
                  bn_momentum: float = 0.1, deterministic: Optional[bool] = None):
         det = (not train) if deterministic is None else deterministic
         xyz = points[..., :3]
-        pf = PointTrunkDense(name="point_trunk")(
+        pf = PointTrunkDense(name="point_trunk", dtype=self.dtype)(
             xyz, points, train, bn_momentum)  # [B,N,128]
-        fmap, _ = ImageEncoder(name="image_trunk")(image, train, bn_momentum)
+        fmap, _ = ImageEncoder(name="image_trunk", dtype=self.dtype)(
+            image.astype(self.dtype or image.dtype), train, bn_momentum)
         H, W = image.shape[1], image.shape[2]
         pixf, valid = proj.sample_image_features(
             fmap, xyz, K, R, t, (H, W), stride=self.image_stride)
@@ -145,7 +151,8 @@ class FusionSemSeg(nn.Module):
             aux["fusion_alpha"] = alpha
         else:
             fused = jnp.concatenate([pf, pixf], axis=-1)
-        h = SharedMLP([128], name="head_mlp")(fused, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(
+            fused, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_class, name="head_out")(h)
-        return log_softmax_head(h), aux
+        h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), aux

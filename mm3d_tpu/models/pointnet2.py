@@ -431,6 +431,7 @@ class PointNet2PartSegSSG(nn.Module):
     num_part: int = 50
     num_category: int = 16
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, cls_label_onehot, train: bool = True,
@@ -440,28 +441,28 @@ class PointNet2PartSegSSG(nn.Module):
         l0_xyz = points[..., :3]
         l0_feats = points if self.normal_channel else None
         l1_xyz, l1_f = SetAbstraction(512, 0.2, 32, (64, 64, 128),
-                                      name="sa1")(l0_xyz, l0_feats, train,
+                                      name="sa1", dtype=self.dtype)(l0_xyz, l0_feats, train,
                                                   bn_momentum)
         l2_xyz, l2_f = SetAbstraction(128, 0.4, 64, (128, 128, 256),
-                                      name="sa2")(l1_xyz, l1_f, train,
+                                      name="sa2", dtype=self.dtype)(l1_xyz, l1_f, train,
                                                   bn_momentum)
         l3_xyz, l3_f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                                      name="sa3")(l2_xyz, l2_f, train,
+                                      name="sa3", dtype=self.dtype)(l2_xyz, l2_f, train,
                                                   bn_momentum)
-        l2_f = FeaturePropagation((256, 256), name="fp3")(
+        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=self.dtype)(
             l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2")(
+        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=self.dtype)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
         cls_tiled = jnp.broadcast_to(
             cls_label_onehot[:, None, :].astype(points.dtype),
             (B, N, self.num_category))
         l0_skip = jnp.concatenate([cls_tiled, l0_xyz, points], -1)
-        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1", dtype=self.dtype)(
             l0_xyz, l1_xyz, l0_skip, l1_f, train, bn_momentum)
-        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(l0_f, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_part, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_part, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
 class PointNet2PartSegMSG(nn.Module):
@@ -470,6 +471,7 @@ class PointNet2PartSegMSG(nn.Module):
     num_part: int = 50
     num_category: int = 16
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, cls_label_onehot, train: bool = True,
@@ -480,29 +482,29 @@ class PointNet2PartSegMSG(nn.Module):
         l0_feats = points if self.normal_channel else None
         l1_xyz, l1_f = SetAbstractionMsg(
             512, (0.1, 0.2, 0.4), (32, 64, 128),
-            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1")(
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), name="sa1", dtype=self.dtype)(
                 l0_xyz, l0_feats, train, bn_momentum)
         l2_xyz, l2_f = SetAbstractionMsg(
             128, (0.4, 0.8), (64, 128),
-            ((128, 128, 256), (128, 196, 256)), name="sa2")(
+            ((128, 128, 256), (128, 196, 256)), name="sa2", dtype=self.dtype)(
                 l1_xyz, l1_f, train, bn_momentum)
         l3_xyz, l3_f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                                      name="sa3")(l2_xyz, l2_f, train,
+                                      name="sa3", dtype=self.dtype)(l2_xyz, l2_f, train,
                                                   bn_momentum)
-        l2_f = FeaturePropagation((256, 256), name="fp3")(
+        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=self.dtype)(
             l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2")(
+        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=self.dtype)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
         cls_tiled = jnp.broadcast_to(
             cls_label_onehot[:, None, :].astype(points.dtype),
             (B, N, self.num_category))
         l0_skip = jnp.concatenate([cls_tiled, l0_xyz, points], -1)
-        l0_f = FeaturePropagation((128, 128), name="fp1")(
+        l0_f = FeaturePropagation((128, 128), name="fp1", dtype=self.dtype)(
             l0_xyz, l1_xyz, l0_skip, l1_f, train, bn_momentum)
-        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(l0_f, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_part, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_part, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
 # ------------------------------------------------------------ semseg models
@@ -512,6 +514,7 @@ class PointNet2SemSeg(nn.Module):
     """PointNet++ semantic segmentation (SSG, 4 SA + 4 FP stages)."""
 
     num_class: int = 13
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
@@ -520,35 +523,36 @@ class PointNet2SemSeg(nn.Module):
         l0_xyz = points[..., :3]
         l0_f = points  # 9-dim block features
         l1_xyz, l1_f = SetAbstraction(1024, 0.1, 32, (32, 32, 64),
-                                      name="sa1")(l0_xyz, l0_f, train,
+                                      name="sa1", dtype=self.dtype)(l0_xyz, l0_f, train,
                                                   bn_momentum)
         l2_xyz, l2_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
-                                      name="sa2")(l1_xyz, l1_f, train,
+                                      name="sa2", dtype=self.dtype)(l1_xyz, l1_f, train,
                                                   bn_momentum)
         l3_xyz, l3_f = SetAbstraction(64, 0.4, 32, (128, 128, 256),
-                                      name="sa3")(l2_xyz, l2_f, train,
+                                      name="sa3", dtype=self.dtype)(l2_xyz, l2_f, train,
                                                   bn_momentum)
         l4_xyz, l4_f = SetAbstraction(16, 0.8, 32, (256, 256, 512),
-                                      name="sa4")(l3_xyz, l3_f, train,
+                                      name="sa4", dtype=self.dtype)(l3_xyz, l3_f, train,
                                                   bn_momentum)
-        l3_f = FeaturePropagation((256, 256), name="fp4")(
+        l3_f = FeaturePropagation((256, 256), name="fp4", dtype=self.dtype)(
             l3_xyz, l4_xyz, l3_f, l4_f, train, bn_momentum)
-        l2_f = FeaturePropagation((256, 256), name="fp3")(
+        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=self.dtype)(
             l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2")(
+        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=self.dtype)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
-        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1", dtype=self.dtype)(
             l0_xyz, l1_xyz, None, l1_f, train, bn_momentum)
-        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(l0_f, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_class, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
 class PointNet2SemSegMSG(nn.Module):
     """PointNet++ MSG semantic segmentation."""
 
     num_class: int = 13
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
@@ -558,25 +562,25 @@ class PointNet2SemSegMSG(nn.Module):
         l0_f = points
         l1_xyz, l1_f = SetAbstractionMsg(
             1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64)),
-            name="sa1")(l0_xyz, l0_f, train, bn_momentum)
+            name="sa1", dtype=self.dtype)(l0_xyz, l0_f, train, bn_momentum)
         l2_xyz, l2_f = SetAbstractionMsg(
             256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128)),
-            name="sa2")(l1_xyz, l1_f, train, bn_momentum)
+            name="sa2", dtype=self.dtype)(l1_xyz, l1_f, train, bn_momentum)
         l3_xyz, l3_f = SetAbstractionMsg(
             64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256)),
-            name="sa3")(l2_xyz, l2_f, train, bn_momentum)
+            name="sa3", dtype=self.dtype)(l2_xyz, l2_f, train, bn_momentum)
         l4_xyz, l4_f = SetAbstractionMsg(
             16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512)),
-            name="sa4")(l3_xyz, l3_f, train, bn_momentum)
-        l3_f = FeaturePropagation((256, 256), name="fp4")(
+            name="sa4", dtype=self.dtype)(l3_xyz, l3_f, train, bn_momentum)
+        l3_f = FeaturePropagation((256, 256), name="fp4", dtype=self.dtype)(
             l3_xyz, l4_xyz, l3_f, l4_f, train, bn_momentum)
-        l2_f = FeaturePropagation((256, 256), name="fp3")(
+        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=self.dtype)(
             l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2")(
+        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=self.dtype)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
-        l0_f = FeaturePropagation((128, 128, 128), name="fp1")(
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1", dtype=self.dtype)(
             l0_xyz, l1_xyz, None, l1_f, train, bn_momentum)
-        h = SharedMLP([128], name="head_mlp")(l0_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(l0_f, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_class, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": None}
+        h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}

@@ -149,3 +149,28 @@ def test_registry_contract():
         assert False
     except KeyError as e:
         assert "available" in str(e)
+
+
+@pytest.mark.parametrize("name", [
+    "pointnet2_cls_msg", "pointnet2_part_seg_ssg", "pointnet2_part_seg_msg",
+    "pointnet2_sem_seg", "pointnet2_sem_seg_msg"])
+def test_bf16_dtype_plumbing(name):
+    """Every PointNet++ top accepts dtype=bf16 (mixed-precision mode)
+    and produces finite f32 log-probabilities in train mode."""
+    spec = get_model(name)
+    model = spec.builder(dtype=jnp.bfloat16)
+    pts = _points(1, 128, 9 if "sem_seg" in name else 3)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    if "part_seg" in name:
+        onehot = jax.nn.one_hot(jnp.array([2]), 16)
+        variables = model.init(rngs, pts, onehot, train=True)
+        (logp, _), _ = model.apply(
+            variables, pts, onehot, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+    else:
+        variables = model.init(rngs, pts, train=True)
+        (logp, _), _ = model.apply(
+            variables, pts, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+    assert logp.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logp)).all()
