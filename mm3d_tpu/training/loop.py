@@ -62,6 +62,11 @@ class TrainConfig:
     # step on v5e for pn2_cls_ssg B=64 and converges on the synthetic
     # tasks; the fp32 default remains the torch-parity mode.
     dtype: str = "float32"
+    # eval-side compute dtype.  Training keeps f32 eval even in bf16
+    # mode (BN warm-up scales break bf16 eval); the serving CLI
+    # (test.py --dtype bfloat16) opts into bf16 eval on converged
+    # checkpoints, where the fused bf16 kernels apply.
+    eval_dtype: str = "float32"
 
 
 def build_datasets(cfg: TrainConfig, task: str):
@@ -144,8 +149,13 @@ class Trainer:
         # cannot carry them against the O(1) affine terms (measured:
         # bf16 eval collapsed to ~10% while bf16 train-side accuracy
         # tracked f32).  Eval is a tiny fraction of step time.
-        self.eval_model = (self.spec.builder(**eval_model_kwargs)
-                           if cfg.dtype == "bfloat16" else self.model)
+        if cfg.eval_dtype == "bfloat16":
+            self.eval_model = self.spec.builder(
+                **{**eval_model_kwargs, "dtype": jnp.bfloat16})
+        elif cfg.dtype == "bfloat16":
+            self.eval_model = self.spec.builder(**eval_model_kwargs)
+        else:
+            self.eval_model = self.model
         self.tx = make_optimizer(cfg.optimizer, cfg.weight_decay)
 
         example = self._example_batch(train_ds)

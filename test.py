@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--normal", action="store_true")
     p.add_argument("--num_class", type=int, default=40)
     p.add_argument("--num_votes", type=int, default=1)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = bf16 serving eval (fused SA + "
+                        "bilinear kernels); fp32 is the strict-parity "
+                        "mode")
     p.add_argument("--impl", default="auto", choices=["auto", "jax", "pallas"],
                    help="geometry-op implementation")
     p.add_argument("--test_size", type=int, default=128)
@@ -47,7 +52,8 @@ def main(argv=None):
         model=a.model, batch_size=a.batch_size,
         npoint=a.npoint or spec.default_npoint, normal_channel=a.normal,
         num_class=a.num_class, seed=a.seed, test_size=a.test_size,
-        log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False)
+        log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False,
+        eval_dtype=a.dtype)
     trainer = Trainer(cfg)
     # restore from the given run dir
     from mm3d_tpu.utils.checkpoint import CheckpointManager
