@@ -248,7 +248,10 @@ def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
     # [st, Np] scan is cheap and the tri matmul's low-row-count MXU
     # passes + smaller tiles cost more; past 2048 the operand exceeds
     # the VMEM budget) -> scan everywhere else
-    use_tri = 1024 <= Np <= 2048
+    # tri only at Np=1024: the [Np,Np] bf16 operand is 2 MB there but
+    # 8 MB at 2048 (over the whole budget — this drove the centroid
+    # tile to 1 sublane and Mosaic rejected the block shape)
+    use_tri = Np == 1024
     extra_in = []
     extra_specs = []
     if use_tri:
@@ -267,7 +270,9 @@ def ball_query_v2_pallas(radius: float, nsample: int, xyz: jax.Array,
     else:
         budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
         stk_cap = max(8, budget // (2 * Np))
-        st = min(Sp, max(1, stk_cap // nsample))
+        # at least 8 sublanes (Mosaic block constraint; Sp is 8-aligned
+        # so the decrement loop can never pass below 8)
+        st = min(Sp, max(8, stk_cap // nsample))
         while Sp % st:
             st -= 1
     grid = (B, Sp // st)
@@ -561,8 +566,8 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     b2_p = jnp.broadcast_to(jnp.pad(b2.astype(dt), (0, C3p - C3)),
                             (8, C3p))
 
-    # MXU rank operand (see ball_query_v2_pallas: wins only 1024-2048)
-    use_tri = 1024 <= Np <= 2048
+    # MXU rank operand (see ball_query_v2_pallas: Np=1024 only)
+    use_tri = Np == 1024
     tri_in = []
     tri_specs = []
     if use_tri:
@@ -581,7 +586,7 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     else:
         budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
         stk_cap = max(8, budget // (dsz * Np))
-        st = min(Sp, max(1, stk_cap // nsample))
+        st = min(Sp, max(8, stk_cap // nsample))
         while Sp % st:
             st -= 1
     grid = (B, Sp // st)

@@ -370,7 +370,7 @@ class _Plan:
             # CPU test suite several times faster
             st = self.Sp
         else:
-            st = min(self.Sp, max(1, (budget // per_row) // K))
+            st = min(self.Sp, max(8, (budget // per_row) // K))
             while self.Sp % st:
                 st -= 1
         self.st = st
