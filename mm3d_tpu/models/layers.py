@@ -52,9 +52,17 @@ def _bn_train_fwd_parts(x, gamma, beta, eps):
     # eval-mode accuracy collapses (observed 43% -> 19.5% on the
     # 3-epoch synthetic check before this cast)
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axes)
-    var = jnp.maximum(jnp.mean(jnp.square(xf), axes) - jnp.square(mean),
+    # shifted single-pass statistics: E[x²]-E[x]² cancels catastrophically
+    # in f32 when |mean| >> std, so subtract a per-channel anchor (the
+    # first element) first — still one pass over the data (the subtract
+    # fuses into the reductions), but the sums stay O(std)-scaled
+    # (ADVICE r2).  var is shift-invariant; mean adds the shift back.
+    shift = jax.lax.stop_gradient(xf[(0,) * (x.ndim - 1)])
+    xs = xf - shift
+    mean_s = jnp.mean(xs, axes)
+    var = jnp.maximum(jnp.mean(jnp.square(xs), axes) - jnp.square(mean_s),
                       0.0)
+    mean = mean_s + shift
     inv = jax.lax.rsqrt(var + eps)
     y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) * gamma + beta
     return y, mean, var, inv

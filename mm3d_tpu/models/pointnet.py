@@ -9,6 +9,13 @@ orthogonality-regularizer losses.
 
 All tensors are channels-last [B, N, C]; every "Conv1d(k=1)" of the torch
 original is a Dense over the channel axis (one MXU matmul).
+
+bf16 mode (``dtype=jnp.bfloat16``): network compute in bf16 with f32
+params (mixed precision).  Two f32 islands, mirroring the PN++ lessons
+(BASELINE.md r2 notes): the STN alignment *matrix* is produced and
+applied to the xyz coordinates in f32 (a bf16 3x3 product destroys the
+sub-unit coordinate detail the whole network keys on), and BN statistics
+always accumulate in f32 (models/layers.py).
 """
 
 from __future__ import annotations
@@ -23,25 +30,37 @@ from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
 
 
 class STN(nn.Module):
-    """Spatial transformer: predicts a k x k alignment matrix (STN3d/STNkd)."""
+    """Spatial transformer: predicts a k x k alignment matrix (STN3d/STNkd).
+
+    The predicted matrix is always returned in f32 (zero-init head +
+    identity): in bf16 mode the *features* feeding it are bf16 but the
+    alignment map itself stays full precision.
+    """
 
     k: int = 3
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
         # x: [B, N, C_in]
-        h = SharedMLP([64, 128, 1024], name="mlp")(x, train, bn_momentum)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = SharedMLP([64, 128, 1024], name="mlp", dtype=self.dtype)(
+            x, train, bn_momentum)
         h = jnp.max(h, axis=1)  # [B, 1024]
         for i, f in enumerate((512, 256)):
-            h = nn.Dense(f, name=f"fc_{i}")(h)
-            h = BatchNorm(name=f"fcbn_{i}")(
+            h = nn.Dense(f, name=f"fc_{i}", dtype=self.dtype)(h)
+            h = BatchNorm(name=f"fcbn_{i}", dtype=self.dtype)(
                 h, use_running_average=not train, momentum=bn_momentum)
             h = nn.relu(h)
-        # zero-init final layer + additive identity => starts at identity
+        # zero-init final layer + additive identity => starts at identity;
+        # dtype=None => f32 params promote the bf16 input, so `mat` is f32
         mat = nn.Dense(self.k * self.k, name="fc_out",
                        kernel_init=nn.initializers.zeros,
-                       bias_init=nn.initializers.zeros)(h)
-        mat = mat.reshape(-1, self.k, self.k) + jnp.eye(self.k, dtype=x.dtype)
+                       bias_init=nn.initializers.zeros)(
+                           h.astype(jnp.float32))
+        mat = mat.reshape(-1, self.k, self.k) + jnp.eye(self.k,
+                                                        dtype=mat.dtype)
         return mat
 
 
@@ -55,25 +74,34 @@ class PointNetEncoder(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
     channel: int = 3
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
         B, N, C = x.shape
-        trans = STN(k=3, name="stn")(x, train, bn_momentum)
-        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+        trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
+        # xyz alignment in f32 (see module docstring), cast after
+        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3].astype(jnp.float32),
+                         trans)
         if C > 3:
-            x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
+            x = jnp.concatenate([xyz.astype(x.dtype), x[..., 3:]], axis=-1)
         else:
-            x = xyz
-        x = SharedMLP([64], name="mlp1")(x, train, bn_momentum)
+            x = xyz.astype(x.dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = SharedMLP([64], name="mlp1", dtype=self.dtype)(
+            x, train, bn_momentum)
         trans_feat = None
         if self.feature_transform:
-            trans_feat = STN(k=64, name="fstn")(x, train, bn_momentum)
-            x = jnp.einsum("bnc,bcd->bnd", x, trans_feat)
+            trans_feat = STN(k=64, name="fstn", dtype=self.dtype)(
+                x, train, bn_momentum)
+            x = jnp.einsum("bnc,bcd->bnd", x,
+                           trans_feat.astype(x.dtype))
         point_feat = x
-        x = SharedMLP([128], name="mlp2")(x, train, bn_momentum)
-        x = nn.Dense(1024, name="conv3")(x)
-        x = BatchNorm(name="bn3")(
+        x = SharedMLP([128], name="mlp2", dtype=self.dtype)(
+            x, train, bn_momentum)
+        x = nn.Dense(1024, name="conv3", dtype=self.dtype)(x)
+        x = BatchNorm(name="bn3", dtype=self.dtype)(
             x, use_running_average=not train, momentum=bn_momentum)
         gf = jnp.max(x, axis=1)  # [B,1024]
         if self.global_feat:
@@ -87,6 +115,7 @@ class PointNetCls(nn.Module):
 
     num_class: int = 40
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
@@ -95,18 +124,20 @@ class PointNetCls(nn.Module):
         channel = 6 if self.normal_channel else 3
         feat, trans, trans_feat = PointNetEncoder(
             global_feat=True, feature_transform=True, channel=channel,
-            name="feat")(points[..., :channel], train, bn_momentum)
-        x = nn.Dense(512, name="fc1")(feat)
-        x = BatchNorm(name="bn1")(x, use_running_average=not train,
-                                  momentum=bn_momentum)
+            name="feat", dtype=self.dtype)(points[..., :channel], train,
+                                           bn_momentum)
+        x = nn.Dense(512, name="fc1", dtype=self.dtype)(feat)
+        x = BatchNorm(name="bn1", dtype=self.dtype)(
+            x, use_running_average=not train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = nn.Dense(256, name="fc2")(x)
+        x = nn.Dense(256, name="fc2", dtype=self.dtype)(x)
         x = nn.Dropout(0.4, deterministic=det, name="drop")(x)
-        x = BatchNorm(name="bn2")(x, use_running_average=not train,
-                                  momentum=bn_momentum)
+        x = BatchNorm(name="bn2", dtype=self.dtype)(
+            x, use_running_average=not train, momentum=bn_momentum)
         x = nn.relu(x)
-        x = nn.Dense(self.num_class, name="fc3")(x)
-        return log_softmax_head(x), {"trans_feat": trans_feat}
+        x = nn.Dense(self.num_class, name="fc3", dtype=self.dtype)(x)
+        return log_softmax_head(x.astype(jnp.float32)), \
+            {"trans_feat": trans_feat}
 
 
 class PointNetPartSeg(nn.Module):
@@ -116,6 +147,7 @@ class PointNetPartSeg(nn.Module):
     num_part: int = 50
     num_category: int = 16
     normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, cls_label_onehot, train: bool = True,
@@ -123,28 +155,35 @@ class PointNetPartSeg(nn.Module):
         B, N, _ = points.shape
         channel = 6 if self.normal_channel else 3
         x = points[..., :channel]
-        trans = STN(k=3, name="stn")(x, train, bn_momentum)
-        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+        trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
+        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3].astype(jnp.float32),
+                         trans)
         if channel > 3:
-            x = jnp.concatenate([xyz, x[..., 3:]], -1)
+            x = jnp.concatenate([xyz.astype(x.dtype), x[..., 3:]], -1)
         else:
-            x = xyz
-        out1 = SharedMLP([64, 128, 128], name="mlp1")(x, train, bn_momentum)
-        trans_feat = STN(k=128, name="fstn")(out1, train, bn_momentum)
-        net = jnp.einsum("bnc,bcd->bnd", out1, trans_feat)
-        out2 = SharedMLP([512], name="mlp2")(net, train, bn_momentum)
-        out3 = nn.Dense(2048, name="conv3")(out2)
-        out3 = BatchNorm(name="bn3")(out3, use_running_average=not train,
-                                     momentum=bn_momentum)
+            x = xyz.astype(x.dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        out1 = SharedMLP([64, 128, 128], name="mlp1", dtype=self.dtype)(
+            x, train, bn_momentum)
+        trans_feat = STN(k=128, name="fstn", dtype=self.dtype)(
+            out1, train, bn_momentum)
+        net = jnp.einsum("bnc,bcd->bnd", out1, trans_feat.astype(out1.dtype))
+        out2 = SharedMLP([512], name="mlp2", dtype=self.dtype)(
+            net, train, bn_momentum)
+        out3 = nn.Dense(2048, name="conv3", dtype=self.dtype)(out2)
+        out3 = BatchNorm(name="bn3", dtype=self.dtype)(
+            out3, use_running_average=not train, momentum=bn_momentum)
         gf = jnp.max(out3, axis=1)  # [B,2048]
         gf = jnp.concatenate([gf, cls_label_onehot.astype(gf.dtype)], -1)
         tiled = jnp.broadcast_to(
             gf[:, None, :], (B, N, gf.shape[-1]))
         concat = jnp.concatenate([tiled, out1, net, out2, out3], -1)
-        h = SharedMLP([256, 256, 128], name="head_mlp")(
+        h = SharedMLP([256, 256, 128], name="head_mlp", dtype=self.dtype)(
             concat, train, bn_momentum)
-        h = nn.Dense(self.num_part, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": trans_feat}
+        h = nn.Dense(self.num_part, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), \
+            {"trans_feat": trans_feat}
 
 
 class PointNetSemSeg(nn.Module):
@@ -152,20 +191,24 @@ class PointNetSemSeg(nn.Module):
 
     num_class: int = 13
     channel: int = 9
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
 
     @nn.compact
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1):
         feat, trans, trans_feat = PointNetEncoder(
             global_feat=False, feature_transform=True, channel=self.channel,
-            name="feat")(points, train, bn_momentum)
-        h = SharedMLP([512, 256, 128], name="head_mlp")(feat, train, bn_momentum)
-        h = nn.Dense(self.num_class, name="head_out")(h)
-        return log_softmax_head(h), {"trans_feat": trans_feat}
+            name="feat", dtype=self.dtype)(points, train, bn_momentum)
+        h = SharedMLP([512, 256, 128], name="head_mlp", dtype=self.dtype)(
+            feat, train, bn_momentum)
+        h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), \
+            {"trans_feat": trans_feat}
 
 
 def feature_transform_regularizer(trans: jax.Array) -> jax.Array:
     """mean ||I - A Aᵀ||_F over the batch (orthogonality penalty)."""
     k = trans.shape[-1]
+    trans = trans.astype(jnp.float32)
     eye = jnp.eye(k, dtype=trans.dtype)
     diff = eye - jnp.einsum("bij,bkj->bik", trans, trans)
     # eps inside the sqrt: the STN starts at exactly identity (zero-init

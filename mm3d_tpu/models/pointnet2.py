@@ -99,17 +99,44 @@ class SetAbstraction(nn.Module):
         kernel = self.param("proj_kernel", nn.initializers.lecun_normal(),
                             (c_in, c1))
         bias = self.param("proj_bias", nn.initializers.zeros, (c1,))
+        # f32 originals, captured BEFORE the bf16 cast: the bf16-train
+        # recentering branch below must start from full-precision
+        # xyz/weights or the documented cancellation fix runs on
+        # already-rounded inputs (ADVICE r2 medium; matches the MSG path)
+        cat32, kernel32, bias32 = cat, kernel, bias
         if self.dtype is not None:
             cat = cat.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
         pre = cat @ kernel  # [B,N,C1]
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        # point-sharding context (parallel/point_shard.py): big-N eval
+        # blocks run FPS + the whole SA tail SPMD over the mesh's
+        # point axis; trace-time static decision
+        from mm3d_tpu.parallel.point_shard import current as _ps_current
+        ps = _ps_current()
+        use_sharded = (ps is not None and not train and not self.knn
+                       and len(self.mlp) == 3
+                       and xyz.shape[1] >= ps.min_points
+                       and xyz.shape[1] % ps.mesh.shape[ps.axis] == 0)
+        if use_sharded:
+            from mm3d_tpu.parallel.sharded_fps import sharded_fps
+            fps_idx = sharded_fps(xyz, self.npoint, ps.mesh, ps.axis)
+        else:
+            fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
         cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
         bn = BatchNorm(name="proj_bn", dtype=self.dtype)
         rest = (SharedMLP(self.mlp[1:], name="mlp_rest", dtype=self.dtype)
                 if len(self.mlp) > 1 else None)
+
+        if use_sharded:
+            from mm3d_tpu.parallel.sharded_group import sharded_sa_group_max
+            A, C = bn(pre, use_running_average=True, fold=True)
+            (w1, b1), (w2, b2) = rest(pre, fold=True)
+            out = sharded_sa_group_max(
+                self.radius, self.nsample, xyz, new_xyz, pre * A,
+                (bias - cterm) * A + C, w1, b1, w2, b2, ps.mesh, ps.axis)
+            return new_xyz, out
 
         fused = (dispatch.kernel_or_none("fused_sa")
                  if _want_fused_sa(train, self.mlp, self.dtype)
@@ -158,12 +185,13 @@ class SetAbstraction(nn.Module):
             # (measured: train acc stuck ~55% where fp32 reaches 67%+).
             # Recenter in f32, cast after; the extra f32 gather traffic
             # is the price of a trainable bf16 mode.
-            pre32 = cat.astype(jnp.float32) @ kernel.astype(jnp.float32)
+            pre32 = (cat32.astype(jnp.float32)
+                     @ kernel32.astype(jnp.float32))
             ct32 = (new_xyz.astype(jnp.float32)
-                    @ kernel[:3].astype(jnp.float32))
+                    @ kernel32[:3].astype(jnp.float32))
             gathered = ops.index_points(pre32, idx)
             h = (gathered - ct32[:, :, None, :]
-                 + bias.astype(jnp.float32)).astype(self.dtype)
+                 + bias32.astype(jnp.float32)).astype(self.dtype)
         else:
             gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
             h = gathered - cterm[:, :, None, :] + bias

@@ -77,6 +77,101 @@ def _fps_kernel(npoint: int, n_actual: int, x_ref, y_ref, z_ref, start_ref,
     jax.lax.fori_loop(0, npoint, body, start_ref[:, 0])
 
 
+def _fps_kernel_v2(npoint: int, n_actual: int, nsplit: int, x_ref, y_ref,
+                   z_ref, start_ref, out_ref, mind_ref):
+    """FPS with the batch tile split into `nsplit` independent chains.
+
+    The op is latency-bound, not throughput-bound: each of the npoint
+    steps is a serial chain of ~6 dependent reduce/broadcast stages, and
+    the measured 0.73 ms at B=64/N=1024 is ~15x the pure VPU throughput
+    cost.  Processing independent batch sub-tiles inside one loop body
+    gives the VLIW scheduler parallel chains to interleave, hiding
+    reduction latency.  Also: invalid lanes are pre-poisoned to -1 once
+    (min with d >= 0 keeps them -1) instead of a per-step mask pass.
+    """
+    Bt, N = x_ref.shape
+    npad = out_ref.shape[1]
+    sub = Bt // nsplit
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, N), 1)
+    valid = lane < n_actual
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (Bt, npad), 1)
+    out_ref[:] = jnp.zeros((Bt, npad), jnp.int32)
+    mind_ref[:] = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (Bt, N), 1) < n_actual,
+        1e10, -1.0)
+
+    planes = [(x_ref[s * sub:(s + 1) * sub],
+               y_ref[s * sub:(s + 1) * sub],
+               z_ref[s * sub:(s + 1) * sub]) for s in range(nsplit)]
+
+    def body(i, fars):
+        # store the INCOMING selection at column i (step i's pick)
+        far_all = jnp.concatenate(list(fars), 0)  # [Bt]
+        out_ref[:] = jnp.where(out_col == i, far_all[:, None], out_ref[:])
+        outs = []
+        for s in range(nsplit):
+            far = fars[s]
+            x, y, z = planes[s]
+            oh = (lane == far[:, None]).astype(jnp.float32)
+            cx = jnp.sum(x * oh, axis=1, keepdims=True)
+            cy = jnp.sum(y * oh, axis=1, keepdims=True)
+            cz = jnp.sum(z * oh, axis=1, keepdims=True)
+            d = (jnp.square(x - cx) + jnp.square(y - cy)
+                 + jnp.square(z - cz))
+            m = jnp.minimum(mind_ref[s * sub:(s + 1) * sub], d)
+            mind_ref[s * sub:(s + 1) * sub] = m
+            maxv = jnp.max(m, axis=1, keepdims=True)
+            outs.append(jnp.min(jnp.where(m == maxv, lane, N),
+                                axis=1).astype(jnp.int32))
+        return tuple(outs)
+
+    jax.lax.fori_loop(0, npoint, body,
+                      tuple(start_ref[s * sub:(s + 1) * sub, 0]
+                            for s in range(nsplit)))
+
+
+def fps_pallas_v2(xyz: jax.Array, npoint: int, start_idx=0,
+                  interpret: bool = None, nsplit: int = 4) -> jax.Array:
+    """Latency-optimized FPS (interleaved independent batch chains)."""
+    B, N, _ = xyz.shape
+    Np = _round_up(N, 128)
+    if isinstance(start_idx, int):
+        start = jnp.full((B, 1), start_idx, jnp.int32)
+    else:
+        start = jnp.asarray(start_idx, jnp.int32).reshape(B, 1)
+    planes = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, Np - N), (0, 0)))
+    x = planes[..., 0]
+    y = planes[..., 1]
+    z = planes[..., 2]
+    budget = 6 * 1024 * 1024
+    bt = max(1, min(B, budget // (5 * 4 * Np)))
+    while B % bt:
+        bt -= 1
+    # each split must keep >= 8 sublanes
+    ns = nsplit
+    while ns > 1 and (bt % ns or bt // ns < 8):
+        ns //= 2
+    grid = (B // bt,)
+    np_pad = _round_up(npoint, 128)
+    spec = pl.BlockSpec((bt, Np), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel_v2, npoint, N, ns),
+        grid=grid,
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bt, np_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, np_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bt, Np), jnp.float32)],
+        interpret=interpret,
+    )(x, y, z, start)
+    return out[:, :npoint]
+
+
 def fps_pallas(xyz: jax.Array, npoint: int, start_idx=0,
                interpret: bool = None) -> jax.Array:
     """Pallas farthest point sampling; same contract as geometry._fps_jax."""
@@ -528,10 +623,232 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
 
 
+def _fused_sa_kernel_v3(radius2: float, nsample: int, n_actual: int,
+                        use_tri: bool, new_ref, xyzt_ref, *rest_refs):
+    """v3 of the fused SA tail — same math as `_fused_sa_kernel`, with
+    the one-hot construction restructured to cut the VPU floor (the
+    dominant cost in the v2 kernel, BASELINE.md roofline):
+
+    * k-major row order (r = k*St + s) so the [St,N] -> [St*K,N]
+      expansion is `pltpu.repeat` — K contiguous block copies instead of
+      a sublane-interleaved broadcast;
+    * ranks stay bf16 end-to-end (no int32 materialization).  Exactness
+      argument: integer ranks <= 256 are exact in bf16 and ranks > 256
+      round to even integers >= 256, while the compared k+1 <= 128 — so
+      `rank == k+1` can never produce a false positive/negative;
+    * the zero-hit clamp moves AFTER the gather (one select over
+      [R,C1] against the literal pre[0] row) instead of an extra
+      or-pass over [R,N];
+    * max over K as K static sublane slices (no [St,K,C] reshape).
+    """
+    if use_tri:
+        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    else:
+        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    St = new_ref.shape[0]
+    _, N = xyzt_ref.shape
+    K = nsample
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+
+    a = new_ref[:]
+    b = xyzt_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    if use_tri:
+        # integer-valued f32 ranks straight off the MXU (sums <= N are
+        # exact in f32) — no int32 round trip
+        rank_f = jnp.dot(in_ball.astype(jnp.bfloat16), tri_ref[:],
+                         preferred_element_type=jnp.float32)
+    else:
+        rank_f = _prefix_count(in_ball.astype(jnp.int32), lane).astype(
+            jnp.float32)
+    rank_m = jnp.where(in_ball, rank_f, 0.0).astype(jnp.bfloat16)
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    R = St * K
+    rank_rep = pltpu.repeat(rank_m, K, axis=0)          # [R, N] bf16
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    if St & (St - 1) == 0:
+        kv = row >> (St.bit_length() - 1)
+    else:
+        kv = row // St
+    kv1 = (kv + 1).astype(jnp.bfloat16)
+    # arithmetic one-hot (Mosaic v5e has no bf16 vector compare): for
+    # integer-valued bf16 operands max(1-|a-b|, 0) is exactly the 0/1
+    # equality indicator — |diff| is 0 or >= 1, and 1-0 / 1-1 are exact
+    oh = jnp.maximum(1.0 - jnp.abs(rank_rep - kv1), 0.0)
+    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] i32
+
+    pre = pre_ref[:]        # [N, C1p], BN pre-folded
+    dt = pre.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    ohb = oh
+    if dt == jnp.float32:
+        # 3-term bf16 split — see _fused_sa_kernel
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+    else:
+        g = jnp.dot(ohb, pre, preferred_element_type=jnp.float32)
+    # zero-hit centroids read index 0 (lineage padding semantics); only
+    # their k=0 slot survives the live mask below
+    g = jnp.where((cnt_rep == 0) & (kv == 0),
+                  pre_ref[0:1, :].astype(jnp.float32), g)
+    cb_rep = pltpu.repeat(cbias_ref[:], K, axis=0)      # [R, C1p]
+    h = jnp.maximum(g.astype(dt) + cb_rep, 0.0)
+    h = jnp.dot(h, w1_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+
+    live = kv < jnp.maximum(cnt_rep, 1)
+    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
+    acc = h[0:St]
+    for k in range(1, K):
+        acc = jnp.maximum(acc, h[k * St:(k + 1) * St])
+    out_ref[:] = acc
+
+
+def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
+                        use_tri: bool, P: int, C1: int, new_ref, xyzt_ref,
+                        *rest_refs):
+    """v4 fused SA tail: block-packed gather.
+
+    The kernel is MXU-bound (measured: v3's cheaper one-hot build was a
+    wash), and the dominant cost is the one-hot gather matmul
+    [R,N]@[N,128] whose output lanes are only C1 < 128 wide.  v4 packs
+    P = 128//C1 point-blocks side by side in the RHS:
+
+        RHS2[m, q*C1:(q+1)*C1] = pre[q*(N/P) + m]   (m < N/P)
+
+    so the contraction shrinks to N/P — the gather matmul drops 2x at
+    SA1 (C1=64) and 4x at the semseg head (C1=32).  Selection: ranks
+    are global, so the (k+1)-th hit lies in block q* iff
+    cum_cnt[q*] < k+1 <= cum_cnt[q*+1]; the one-hot over packed lanes is
+    the SUM of per-block arithmetic one-hots (a global rank value occurs
+    in at most one block), and the correct C1-lane slice of the packed
+    matmul output is picked per row from q* — P cheap selects over
+    [R, C1] instead of any full-width work.  The rank prefix matmul runs
+    int8 x int8 -> int32 (exact for 0/1 masks, 2x bf16 MXU throughput).
+    """
+    if use_tri:
+        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    else:
+        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    St = new_ref.shape[0]
+    _, N = xyzt_ref.shape
+    K = nsample
+    NP = N // P
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+
+    a = new_ref[:]
+    b = xyzt_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    if use_tri:
+        rank_f = jnp.dot(in_ball.astype(jnp.int8), tri_ref[:],
+                         preferred_element_type=jnp.int32).astype(
+                             jnp.float32)
+    else:
+        rank_f = _prefix_count(in_ball.astype(jnp.int32), lane).astype(
+            jnp.float32)
+    rank_m = jnp.where(in_ball, rank_f, 0.0).astype(jnp.bfloat16)
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    R = St * K
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    if St & (St - 1) == 0:
+        kv = row >> (St.bit_length() - 1)
+    else:
+        kv = row // St
+    kv1 = (kv + 1).astype(jnp.bfloat16)
+    # packed one-hot: sum of per-block arithmetic one-hots (global
+    # ranks — at most one block matches any k+1)
+    oh = None
+    for q in range(P):
+        rq = pltpu.repeat(rank_m[:, q * NP:(q + 1) * NP], K, axis=0)
+        ohq = jnp.maximum(1.0 - jnp.abs(rq - kv1), 0.0)
+        oh = ohq if oh is None else oh + ohq
+    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] i32
+
+    pre = pre_ref[:]        # [NP, P*C1 padded to lanes], BN pre-folded
+    dt = pre.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    if dt == jnp.float32:
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g2 = (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+              + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
+              + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+    else:
+        g2 = jnp.dot(oh, pre, preferred_element_type=jnp.float32)
+
+    if P > 1:
+        # block of the (k+1)-th hit: q* = #{q : cum_cnt_q < k+1} - 1,
+        # where cum_cnt_q counts hits in blocks < q (tiny [R,1] algebra)
+        kv1i = kv + 1
+        cum = jnp.zeros_like(cnt)
+        bstar = jnp.zeros_like(kv)
+        for q in range(1, P):
+            cum = cum + jnp.sum(
+                in_ball[:, (q - 1) * NP:q * NP].astype(jnp.int32),
+                axis=1, keepdims=True)
+            bstar = bstar + (kv1i > pltpu.repeat(cum, K, axis=0)
+                             ).astype(jnp.int32)
+        g = jnp.zeros((R, C1), jnp.float32)
+        for q in range(P):
+            g = jnp.where(bstar == q, g2[:, q * C1:(q + 1) * C1], g)
+    else:
+        g = g2[:, :C1]
+    # zero-hit centroids read global index 0 = packed row 0, block 0
+    g = jnp.where((cnt_rep == 0) & (kv == 0),
+                  pre_ref[0:1, :C1].astype(jnp.float32), g)
+    cb_rep = pltpu.repeat(cbias_ref[:], K, axis=0)      # [R, C1pad]
+    h = jnp.maximum(g.astype(dt) + cb_rep[:, :C1], 0.0)
+    h = jnp.dot(h, w1_ref[:C1, :], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+
+    live = kv < jnp.maximum(cnt_rep, 1)
+    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
+    acc = h[0:St]
+    for k in range(1, K):
+        acc = jnp.maximum(acc, h[k * St:(k + 1) * St])
+    out_ref[:] = acc
+
+
 def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
                     new_xyz: jax.Array, pre: jax.Array, cbias: jax.Array,
                     w1: jax.Array, b1: jax.Array, w2: jax.Array,
-                    b2: jax.Array, interpret: bool = None) -> jax.Array:
+                    b2: jax.Array, interpret: bool = None,
+                    version: int = None) -> jax.Array:
     """Fused SA tail: returns max_k MLP(gather(pre)[.,k] + cbias) [B,S,C3].
 
     Args:
@@ -542,6 +859,11 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
       cbias [B,S,C1]: per-centroid additive term (recentering + folded
         BN shift + bias).
       w1 [C1,C2], b1 [C2], w2 [C2,C3], b2 [C3]: BN-folded rest layers.
+      version: kernel variant; None = measured-best per shape.  All
+        versions are bit-identical on chip (scripts/proto_sa_v3.py):
+        v4 (block-packed gather + k-major repeat one-hot) wins +12-13%
+        wherever the MXU triangular rank matmul is off (N != 1024);
+        at tri shapes v2 stays ahead by ~3% (r3 race, B=64 bf16).
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -549,15 +871,36 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     dt = pre.dtype
     dsz = jnp.dtype(dt).itemsize
     Np = _round_up(N, 128)
+    if version is None:
+        version = 2 if Np == 1024 else 4
     Sp = _round_up(S, 8)
     C1p, C2p, C3p = (_round_up(c, 128) for c in (C1, C2, C3))
+
+    # v4 block-packing factor: P point-blocks share the 128 RHS lanes
+    P = 1
+    if version == 4:
+        for p in (8, 4, 2):
+            if (C1 * p <= 128 and N == Np and N % p == 0
+                    and (N // p) % 128 == 0):
+                P = p
+                break
 
     xyz_t = jnp.pad(
         jnp.swapaxes(xyz.astype(jnp.float32), 1, 2),
         ((0, 0), (0, 5), (0, Np - N)))
     new_p = jnp.pad(new_xyz.astype(jnp.float32),
                     ((0, 0), (0, Sp - S), (0, 5)))
-    pre_p = jnp.pad(pre, ((0, 0), (0, Np - N), (0, C1p - C1)))
+    if P > 1:
+        NPr = N // P
+        # packed RHS: row m lanes [q*C1:(q+1)*C1] = pre[q*NPr + m]
+        pre_p = jnp.pad(
+            jnp.swapaxes(pre.reshape(B, P, NPr, C1), 1, 2
+                         ).reshape(B, NPr, P * C1),
+            ((0, 0), (0, 0), (0, 128 - P * C1)))
+        pre_rows, pre_lanes = NPr, 128
+    else:
+        pre_p = jnp.pad(pre, ((0, 0), (0, Np - N), (0, C1p - C1)))
+        pre_rows, pre_lanes = Np, C1p
     cb_p = jnp.pad(cbias.astype(dt), ((0, 0), (0, Sp - S), (0, C1p - C1)))
     w1_p = jnp.pad(w1.astype(dt), ((0, C1p - C1), (0, C2p - C2)))
     w2_p = jnp.pad(w2.astype(dt), ((0, C2p - C2), (0, C3p - C3)))
@@ -572,27 +915,46 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     tri_specs = []
     if use_tri:
         tri = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
-               <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
-               ).astype(jnp.bfloat16)
+               <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1))
+        # v4 runs the rank matmul int8 (exact, 2x MXU rate)
+        tri = tri.astype(jnp.int8 if version == 4 else jnp.bfloat16)
         tri_in = [tri]
         tri_specs = [pl.BlockSpec((Np, Np), lambda bb, s: (0, 0),
                                   memory_space=pltpu.VMEM)]
 
-    # centroid-tile: the [st*K, Np] one-hot stack is the big VMEM tenant
+    # centroid-tile: the [st*K, Np/P] one-hot stack is the big VMEM tenant
     if interpret is None:
         interpret = not _on_tpu()
     if interpret:
         st = Sp  # no VMEM limit; fewer (Python-level) grid steps
     else:
-        budget = 4 * 1024 * 1024 - (2 * Np * Np if use_tri else 0)
-        stk_cap = max(8, budget // (dsz * Np))
+        tri_bytes = (Np * Np * (1 if version == 4 else 2)
+                     if use_tri else 0)
+        budget = 4 * 1024 * 1024 - tri_bytes
+        ohsz = 2 * (Np // P) if version >= 3 else dsz * Np
+        if dsz == 4:
+            # fp32 tiles also carry the 3-term bf16-split accumulators
+            # and f32 MLP intermediates per one-hot row; without this
+            # term the tile choice blows the 16 MiB scoped-VMEM stack
+            # at C3p >= 256 (measured: v2 fp32 N=512 st=32 -> 16.11 MiB
+            # OOM).  bf16 tilings (the raced defaults) are untouched.
+            ohsz += 16 * C1p + 4 * (C1p + C2p + 2 * C3p)
+        stk_cap = max(8, budget // max(ohsz, 1))
         st = min(Sp, max(8, stk_cap // nsample))
         while Sp % st:
             st -= 1
     grid = (B, Sp // st)
+    if version == 4:
+        kern = functools.partial(_fused_sa_kernel_v4, radius * radius,
+                                 nsample, N, use_tri, P, C1)
+    elif version == 3:
+        kern = functools.partial(_fused_sa_kernel_v3, radius * radius,
+                                 nsample, N, use_tri)
+    else:
+        kern = functools.partial(_fused_sa_kernel, radius * radius,
+                                 nsample, N, use_tri)
     out = pl.pallas_call(
-        functools.partial(_fused_sa_kernel, radius * radius, nsample, N,
-                          use_tri),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, st, 8), lambda bb, s: (bb, s, 0),
@@ -600,7 +962,8 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
             pl.BlockSpec((None, 8, Np), lambda bb, s: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + tri_specs + [
-            pl.BlockSpec((None, Np, C1p), lambda bb, s: (bb, 0, 0),
+            pl.BlockSpec((None, pre_rows, pre_lanes),
+                         lambda bb, s: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, st, C1p), lambda bb, s: (bb, s, 0),
                          memory_space=pltpu.VMEM),

@@ -7,6 +7,7 @@ from mm3d_tpu.parallel.mesh import (
     shard_batch,
 )
 from mm3d_tpu.parallel.sharded_fps import sharded_fps
+from mm3d_tpu.parallel.point_shard import point_shard
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "sharded_fps"]
+           "shard_batch", "sharded_fps", "point_shard"]

@@ -44,9 +44,16 @@ def _local_hits(radius, xyz_tile, new_xyz, axis):
     tile = xyz_tile.shape[1]
     shard = jax.lax.axis_index(axis)
     base = shard * tile
-    # d² in fp32 HIGHEST — index decisions must not flip under bf16
-    d2 = jnp.sum(jnp.square(new_xyz[:, :, None, :]
-                            - xyz_tile[:, None, :, :]), -1)
+    # d² with the SAME cross-term formula (and op order) as
+    # geometry.square_distance / the Pallas kernels: the elementwise
+    # (a-b)² form rounds differently, and a point exactly at the radius
+    # boundary would then be classified differently than on the
+    # single-device path, breaking the exact-equality tests (ADVICE r2)
+    cross = jnp.einsum("bsc,btc->bst", new_xyz, xyz_tile,
+                       precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(new_xyz * new_xyz, axis=-1)[:, :, None]
+    t2 = jnp.sum(xyz_tile * xyz_tile, axis=-1)[:, None, :]
+    d2 = s2 - 2.0 * cross + t2
     in_ball = d2 <= radius * radius  # [B, S, t]
     local_rank = jnp.cumsum(in_ball.astype(jnp.int32), axis=-1)  # incl.
     cnt = local_rank[..., -1]  # [B, S] local hit count

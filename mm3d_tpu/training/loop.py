@@ -150,8 +150,14 @@ class Trainer:
         # bf16 eval collapsed to ~10% while bf16 train-side accuracy
         # tracked f32).  Eval is a tiny fraction of step time.
         if cfg.eval_dtype == "bfloat16":
-            self.eval_model = self.spec.builder(
-                **{**eval_model_kwargs, "dtype": jnp.bfloat16})
+            try:
+                self.eval_model = self.spec.builder(
+                    **{**eval_model_kwargs, "dtype": jnp.bfloat16})
+            except TypeError:
+                # same fallback as the train-dtype path (ADVICE r2)
+                print(f"[mm3d] {cfg.model} has no bf16 mode; "
+                      "evaluating fp32")
+                self.eval_model = self.spec.builder(**eval_model_kwargs)
         elif cfg.dtype == "bfloat16":
             self.eval_model = self.spec.builder(**eval_model_kwargs)
         else:

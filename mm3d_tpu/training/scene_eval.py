@@ -109,6 +109,10 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
         votes = _accumulate_votes(votes, jnp.asarray(pidx[s:s + batch_size]),
                                   jnp.exp(logp), live)
     votes = np.asarray(votes)  # single D2H fetch of the whole room
+    return _finish(votes, labels, num_classes)
+
+
+def _finish(votes, labels, num_classes):
     seen = votes.sum(-1) > 0
     pred = votes.argmax(-1).astype(np.int32)
     metrics: Dict[str, float] = {"coverage": float(seen.mean())}
@@ -121,3 +125,70 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
             "miou": float(miou),
         })
     return pred, metrics
+
+
+def render_block_views(feats: np.ndarray, hw=(64, 64), seed: int = 0):
+    """Per-block camera views for the multimodal room protocol.
+
+    For each tiled block, renders a depth view of the block's local xyz
+    (feats[..., :3] — the recentered coordinates the fusion model also
+    projects) from a deterministic per-block viewpoint, exactly like the
+    SyntheticMultimodal pairing (data/synthetic.py).
+
+    Returns (images [nb,H,W,3], K [nb,3,3], R [nb,3,3], t [nb,3]).
+    """
+    from mm3d_tpu.data.synthetic import (default_intrinsics,
+                                         look_at_extrinsics,
+                                         render_depth_image)
+    Kin = default_intrinsics(hw)
+    imgs, Rs, ts = [], [], []
+    for b in range(feats.shape[0]):
+        rng = np.random.RandomState((seed * 7_000_003 + b) % (2**32))
+        theta = rng.uniform(0, 2 * np.pi)
+        eye = 2.5 * np.array([np.cos(theta), 0.45, np.sin(theta)])
+        R, t = look_at_extrinsics(eye.astype(np.float32))
+        imgs.append(render_depth_image(feats[b, :, :3], Kin, R, t, hw))
+        Rs.append(R)
+        ts.append(t)
+    nb = feats.shape[0]
+    return (np.stack(imgs), np.broadcast_to(Kin, (nb, 3, 3)).copy(),
+            np.stack(Rs), np.stack(ts))
+
+
+def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
+                              labels: Optional[np.ndarray] = None,
+                              rgb: Optional[np.ndarray] = None,
+                              num_classes: int = 13, npoints: int = 2048,
+                              hw=(64, 64), block_size: float = 1.0,
+                              stride: float = 0.5, batch_size: int = 8,
+                              seed: int = 0
+                              ) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Whole-room protocol for the multimodal per-point model (config 5):
+    same tiling/vote accumulation as `evaluate_scene`, with a rendered
+    camera view per block fed to the fusion branch.
+
+    predict_fn: jitted (points [B,npoints,9], image [B,H,W,3], K, R, t)
+    -> log_probs [B,npoints,C].
+    """
+    feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
+    imgs, Kin, Rm, tm = render_block_views(feats, hw, seed)
+    nblocks = feats.shape[0]
+    votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
+    pad = (-nblocks) % batch_size
+    if pad:
+        feats = np.concatenate([feats, feats[:pad]], 0)
+        pidx = np.concatenate([pidx, pidx[:pad]], 0)
+        imgs = np.concatenate([imgs, imgs[:pad]], 0)
+        Kin = np.concatenate([Kin, Kin[:pad]], 0)
+        Rm = np.concatenate([Rm, Rm[:pad]], 0)
+        tm = np.concatenate([tm, tm[:pad]], 0)
+    for s in range(0, nblocks + pad, batch_size):
+        sl = slice(s, s + batch_size)
+        logp = predict_fn(jnp.asarray(feats[sl]), jnp.asarray(imgs[sl]),
+                          jnp.asarray(Kin[sl]), jnp.asarray(Rm[sl]),
+                          jnp.asarray(tm[sl]))
+        live = jnp.asarray(
+            (s + np.arange(batch_size) < nblocks).astype(np.float32))
+        votes = _accumulate_votes(votes, jnp.asarray(pidx[sl]),
+                                  jnp.exp(logp), live)
+    return _finish(np.asarray(votes), labels, num_classes)

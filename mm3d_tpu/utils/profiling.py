@@ -60,16 +60,18 @@ def chain_time(fn: Callable, x, *rest, k1: int = 5, k2: int = 25,
 
     np.asarray(chain(x, k1, *rest))
     np.asarray(chain(x, k2, *rest))
-    best = float("inf")
+    # per-side minima: min over reps of EACH chain length, then one
+    # slope.  (min-of-slopes pairs a slow short run with a fast long run
+    # and is optimistically biased — the closed experiment in CLAUDE.md.)
+    t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         np.asarray(chain(x, k1, *rest))
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         np.asarray(chain(x, k2, *rest))
-        t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (k2 - k1))
-    return best
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (k2 - k1)
 
 
 def checkify_nan(fn: Callable) -> Callable:

@@ -29,7 +29,8 @@ from mm3d_tpu.utils.profiling import chain_time
 B, N, S1, K1, S2, K2 = 64, 1024, 512, 32, 128, 64
 
 
-def time_train_steps(step, state0, batch, lr, bn, key, m1=3, m2=13):
+def time_train_steps(step, state0, batch, lr, bn, key, m1=3, m2=13,
+                     reps=3):
     def run(m):
         st = state0
         for i in range(m):
@@ -39,9 +40,43 @@ def time_train_steps(step, state0, batch, lr, bn, key, m1=3, m2=13):
 
     run(m1)  # warm
     run(m2)
-    t0 = time.perf_counter(); run(m1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(m2); t2 = time.perf_counter() - t0
-    return (t2 - t1) / (m2 - m1)
+    # per-side minima (see utils/profiling.chain_time): min each chain
+    # length over reps, then one slope
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter(); run(m1); t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(m2); t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (m2 - m1)
+
+
+def train_step_numbers():
+    """fp32 + bf16 mixed-precision train-step timings (the two headline
+    training rows) as a dict — the --json artifact (VERDICT r2 item 5)."""
+    import json
+    r = np.random.RandomState(0)
+    xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32))
+    labels = jnp.asarray(r.randint(0, 40, (B,)).astype(np.int32))
+
+    from mm3d_tpu.models import get_model
+    from mm3d_tpu.training import steps
+    from mm3d_tpu.training.state import create_train_state, make_optimizer
+
+    spec = get_model("pointnet2_cls_ssg")
+    tx = make_optimizer("adam")
+    augs = ("random_point_dropout", "random_scale_point_cloud",
+            "shift_point_cloud")
+    out = {"model": "pointnet2_cls_ssg", "batch": B, "npoint": N,
+           "timing": "per-side-minima chain slope"}
+    for label, kwargs in (("fp32", {}), ("bf16", {"dtype": jnp.bfloat16})):
+        model = spec.builder(num_class=40, **kwargs)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), (xyz,))
+        step = steps.make_train_step(model, spec.loss, tx, "classification",
+                                     augment_names=augs, donate=False)
+        sec = time_train_steps(step, state, (xyz, labels), 1e-3, 0.1,
+                               jax.random.PRNGKey(1))
+        out[f"{label}_ms_per_step"] = round(sec * 1e3, 2)
+        out[f"{label}_clouds_per_s"] = round(B / sec, 1)
+    return out
 
 
 def main():
@@ -145,4 +180,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--json" in sys.argv:
+        import json
+        print(json.dumps(train_step_numbers()))
+    else:
+        main()

@@ -37,6 +37,11 @@ def parse_args(argv=None):
                    help="geometry-op implementation")
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--point_shard", type=int, default=0, metavar="MIN_N",
+                   help="shard the point axis of big-N eval SA blocks "
+                        "over all devices (blocks with >= MIN_N points; "
+                        "0 = off).  SPMD sharded FPS + ball query + SA "
+                        "tail, exact semantics — parallel/point_shard.py")
     return p.parse_args(argv)
 
 
@@ -62,7 +67,15 @@ def main(argv=None):
     trainer.state = ckpt.restore(trainer.state, step)
     trainer.log.info("restored checkpoint step %s from %s", step, a.log_dir)
 
-    result = trainer.evaluate()
+    import contextlib
+    shard_ctx = contextlib.nullcontext()
+    if a.point_shard:
+        from mm3d_tpu import parallel
+        mesh = parallel.make_mesh(jax.devices(),
+                                  data_parallel=len(jax.devices()))
+        shard_ctx = parallel.point_shard(mesh, min_points=a.point_shard)
+    with shard_ctx:
+        result = trainer.evaluate()
     # Vote ensembling (the lineage's test-time protocol) for every task
     # family: cls rotated votes, partseg shuffle votes, fusion_cls rotated
     # votes with extrinsics compensation, fusion_semseg shuffle votes.

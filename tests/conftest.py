@@ -42,3 +42,25 @@ if not os.environ.get("MM3D_TEST_TPU"):
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run tests marked slow (documented "
+                          "negative-result kernels, heavy smokes)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test, excluded from the default suite "
+                   "(run with --slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    import pytest as _pytest
+    skip = _pytest.mark.skip(reason="slow (run with --slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

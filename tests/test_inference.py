@@ -36,6 +36,33 @@ def test_bf16_predictor_agrees_with_f32():
     assert pbf(*args).dtype == jnp.float32
 
 
+def test_pointnet_bf16_agrees_with_f32():
+    # plain-PointNet family bf16 mode (VERDICT r2 item 6): the last
+    # family without a dtype knob; STN matrices stay f32 inside
+    spec = get_model("pointnet_cls")
+    r = np.random.RandomState(2)
+    pts = jnp.asarray(r.randn(8, 256, 3).astype(np.float32))
+    model = spec.builder(num_class=8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        pts, train=True)
+    p32 = inference.make_predictor("pointnet_cls", variables, num_class=8)
+    pbf = inference.make_predictor("pointnet_cls", variables,
+                                   dtype=jnp.bfloat16, num_class=8)
+    out = inference.agreement(p32, pbf, pts)
+    assert out["argmax_agreement"] >= 0.99
+    assert pbf(pts).dtype == jnp.float32
+
+
+def test_pointnet_family_has_bf16_knob():
+    # Trainer must not silently fall back to f32 anymore (VERDICT r2
+    # weak-7): every registered builder accepts dtype now
+    from mm3d_tpu.models import available
+    for name, spec in available().items():
+        m = spec.builder(dtype=jnp.bfloat16)
+        assert getattr(m, "dtype", jnp.bfloat16) == jnp.bfloat16, name
+
+
 def test_pointnet2_bf16_forward():
     spec = get_model("pointnet2_cls_ssg")
     model = spec.builder(num_class=5, dtype=jnp.bfloat16)

@@ -1,0 +1,55 @@
+"""Point-sharded SA driven through a REAL model path (VERDICT r2 item 2):
+whole-model eval logits on an 8-device point-sharded mesh must match the
+single-device forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mm3d_tpu import parallel
+from mm3d_tpu.models import get_model
+
+
+@pytest.mark.parametrize("n_dev", [8])
+def test_semseg_point_sharded_eval_matches_single_device(n_dev):
+    assert len(jax.devices()) >= n_dev
+    mesh = parallel.make_mesh(jax.devices()[:n_dev], data_parallel=n_dev)
+
+    spec = get_model("pointnet2_sem_seg")
+    model = spec.builder(num_class=13)
+    r = np.random.RandomState(0)
+    B, N = 2, 4096
+    pts = jnp.asarray(r.randn(B, N, 9).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           pts, train=True)
+
+    ref, _ = jax.jit(lambda v, p: model.apply(v, p, train=False))(
+        variables, pts)
+
+    with parallel.point_shard(mesh, min_points=2048):
+        sharded_fwd = jax.jit(lambda v, p: model.apply(v, p, train=False))
+        out, _ = sharded_fwd(variables, pts)
+
+    ref = np.asarray(ref)
+    out = np.asarray(out)
+    assert np.abs(out - ref).max() <= 1e-5, np.abs(out - ref).max()
+
+
+def test_cls_point_sharded_eval_matches_single_device():
+    # SA1 (N=1024) shards across 4 devices; SA2/SA3 fall back (small N)
+    mesh = parallel.make_mesh(jax.devices()[:4], data_parallel=4)
+    spec = get_model("pointnet2_cls_ssg")
+    model = spec.builder(num_class=10)
+    r = np.random.RandomState(1)
+    pts = jnp.asarray(r.randn(2, 1024, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           pts, train=True)
+    ref, _ = jax.jit(lambda v, p: model.apply(v, p, train=False))(
+        variables, pts)
+    with parallel.point_shard(mesh, min_points=1024):
+        out, _ = jax.jit(lambda v, p: model.apply(v, p, train=False))(
+            variables, pts)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() <= 1e-5

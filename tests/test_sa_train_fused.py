@@ -154,6 +154,10 @@ def test_setabstraction_module_fused_vs_unfused():
                                    atol=2e-3, err_msg=key)
 
 
+@pytest.mark.slow  # the train-fused path is a recorded negative result
+# (FLOP-bound slower than unfused XLA, gated off in auto mode —
+# BASELINE.md r2); keep its whole-model gradient check out of the
+# default suite, run with --slow
 def test_model_train_fused_smoke():
     spec = get_model("pointnet2_cls_ssg")
     model = spec.builder(num_class=6)

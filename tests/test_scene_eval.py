@@ -62,3 +62,32 @@ def test_evaluate_scene_with_real_model():
         npoints=256, block_size=2.0, stride=1.5, batch_size=2)
     assert metrics["coverage"] > 0.9
     assert 0.0 <= metrics["miou"] <= 1.0
+
+
+def test_evaluate_scene_multimodal_fusion_model():
+    # config-5 room protocol (VERDICT r2 item 7): per-block camera views
+    # rendered from the block's local xyz, fusion model predicts, votes
+    # accumulate on device
+    from mm3d_tpu.models import get_model
+    xyz, rgb, labels = _room(n=1200)
+    spec = get_model("fusion_sem_seg")
+    model = spec.builder(num_class=13)
+    hw = (32, 32)
+    pts0 = jnp.zeros((2, 256, 9), jnp.float32)
+    img0 = jnp.zeros((2, *hw, 3), jnp.float32)
+    from mm3d_tpu.data.synthetic import default_intrinsics
+    K0 = jnp.broadcast_to(jnp.asarray(default_intrinsics(hw)), (2, 3, 3))
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
+    t0 = jnp.tile(jnp.asarray([0.0, 0.0, 3.0], jnp.float32), (2, 1))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   pts0, img0, K0, R0, t0, train=True)
+    predict = jax.jit(
+        lambda p, i, k, r, t: model.apply(v, p, i, k, r, t,
+                                          train=False)[0])
+    pred, metrics = scene_eval.evaluate_scene_multimodal(
+        predict, xyz, labels=labels, rgb=rgb, num_classes=13,
+        npoints=256, hw=hw, block_size=2.0, stride=1.5, batch_size=2)
+    assert metrics["coverage"] > 0.9
+    assert 0.0 <= metrics["miou"] <= 1.0
+    assert pred.shape == (len(xyz),)
