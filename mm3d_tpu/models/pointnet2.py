@@ -26,6 +26,15 @@ from mm3d_tpu.ops import dispatch
 from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
 
 
+def _dbg_dtype(component: str, dtype):
+    """bf16 numerics bisection knob (debug only): MM3D_BF16_DEBUG is a
+    comma list of components forced back to f32 (e.g. "sa" or "head").
+    Unset in production — returns dtype unchanged."""
+    import os
+    dbg = os.environ.get("MM3D_BF16_DEBUG", "")
+    return None if dbg and component in dbg.split(",") else dtype
+
+
 def _want_fused_sa(train: bool, mlp, dtype) -> bool:
     """Take the fused SA Pallas kernel (eval only, 3-layer MLP shape)?
 
@@ -40,6 +49,20 @@ def _want_fused_sa(train: bool, mlp, dtype) -> bool:
     if dtype is not None and jnp.dtype(dtype) == jnp.bfloat16:
         return True
     return dispatch.get_impl() == "pallas"
+
+
+def _want_fused_fp(train: bool, dtype) -> bool:
+    """Take the fused FP-tail Pallas kernel (eval only)?
+
+    Raced on v5e at the semseg/partseg FP shapes (scripts/
+    proto_fp_fused.py, r3): bf16 2.9-14x and fp32 1.8-6.4x the op
+    composition, parity 0 / 2.2e-7 rel — so eval takes it in EVERY
+    serving dtype (dispatch still confines it to TPU-auto or explicit
+    'pallas'; the training path keeps the composition, whose
+    scatter-add backward already routes through the Pallas gather
+    backward).
+    """
+    return not train
 
 
 def _want_fused_sa_train() -> bool:
@@ -85,12 +108,24 @@ class SetAbstraction(nn.Module):
                  bn_momentum: float = 0.1):
         # xyz [B,N,3], feats [B,N,D] or None
         if self.group_all or not self.project_first:
+            mdt = self.dtype
+            if (self.group_all and train and mdt is not None
+                    and jnp.dtype(mdt) == jnp.bfloat16):
+                # measured numerics guard (r3 bisection): with the whole
+                # net in bf16, training plateaus at ~50-65% where fp32
+                # reaches 99% (3 seeds, 12-30 epochs); forcing ONLY this
+                # global-feature group_all stack back to f32 restores
+                # full convergence (98.4/100/99.2% across seeds; the
+                # 30-epoch anchor ties fp32).  It is ~0.1 ms of the
+                # 42 ms step — a free island.  bf16 SERVING keeps this
+                # stack in bf16 (argmax parity verified separately).
+                mdt = None
             if self.group_all:
                 new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
             else:
                 new_xyz, grouped = ops.sample_and_group(
                     self.npoint, self.radius, self.nsample, xyz, feats)
-            h = SharedMLP(self.mlp, name="mlp", dtype=self.dtype)(
+            h = SharedMLP(self.mlp, name="mlp", dtype=mdt)(
                 grouped, train, bn_momentum)
             return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
 
@@ -125,8 +160,10 @@ class SetAbstraction(nn.Module):
             fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
         cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
-        bn = BatchNorm(name="proj_bn", dtype=self.dtype)
-        rest = (SharedMLP(self.mlp[1:], name="mlp_rest", dtype=self.dtype)
+        bn = BatchNorm(name="proj_bn",
+                       dtype=_dbg_dtype("sa_bn", self.dtype))
+        rest = (SharedMLP(self.mlp[1:], name="mlp_rest",
+                          dtype=_dbg_dtype("sa_rest", self.dtype))
                 if len(self.mlp) > 1 else None)
 
         if use_sharded:
@@ -191,7 +228,8 @@ class SetAbstraction(nn.Module):
                     @ kernel32[:3].astype(jnp.float32))
             gathered = ops.index_points(pre32, idx)
             h = (gathered - ct32[:, :, None, :]
-                 + bias32.astype(jnp.float32)).astype(self.dtype)
+                 + bias32.astype(jnp.float32)).astype(
+                     _dbg_dtype("sa_h", self.dtype) or jnp.float32)
         else:
             gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
             h = gathered - cterm[:, :, None, :] + bias
@@ -357,19 +395,32 @@ class FeaturePropagation(nn.Module):
         # rows of W0: [skip channels; interpolated channels]
         k_skip, k_interp = k2[:-c2], k2[-c2:]
         pre = feats2 @ k_interp  # [B,M,C1] — on the sparse set
-        if M == 1:
-            h = jnp.broadcast_to(pre, (B, N, c1))
+        bn = BatchNorm(name="proj_bn", dtype=self.dtype)
+        fused = (dispatch.kernel_or_none("fused_fp")
+                 if _want_fused_fp(train, self.dtype) and M > 1 else None)
+        if fused is not None:
+            # eval path: three_nn + inverse-distance interp + skip +
+            # folded-BN relu as ONE Pallas kernel — BN's per-channel
+            # scale commutes with the linear interpolation, so the
+            # kernel sees pre*A and the folded dense-side term
+            A, C = bn(pre, use_running_average=True, fold=True)
+            skip_t = jnp.broadcast_to(bias.astype(pre.dtype), (B, N, c1))
+            if feats1 is not None:
+                skip_t = feats1.astype(pre.dtype) @ k_skip + skip_t
+            h = fused(xyz1, xyz2, pre * A, skip_t * A + C)
         else:
-            dists, idx = ops.three_nn(xyz1, xyz2)
-            weight = ops.geometry.interpolation_weights(dists)
-            h = ops.three_interpolate(pre, idx,
-                                      weight.astype(pre.dtype))
-        if feats1 is not None:
-            h = h + feats1.astype(pre.dtype) @ k_skip
-        h = h + bias
-        h = BatchNorm(name="proj_bn", dtype=self.dtype)(
-            h, use_running_average=not train, momentum=bn_momentum)
-        h = nn.relu(h)
+            if M == 1:
+                h = jnp.broadcast_to(pre, (B, N, c1))
+            else:
+                dists, idx = ops.three_nn(xyz1, xyz2)
+                weight = ops.geometry.interpolation_weights(dists)
+                h = ops.three_interpolate(pre, idx,
+                                          weight.astype(pre.dtype))
+            if feats1 is not None:
+                h = h + feats1.astype(pre.dtype) @ k_skip
+            h = h + bias
+            h = bn(h, use_running_average=not train, momentum=bn_momentum)
+            h = nn.relu(h)
         if len(self.mlp) > 1:
             h = SharedMLP(self.mlp[1:], name="mlp_rest",
                           dtype=self.dtype)(h, train, bn_momentum)
@@ -391,26 +442,29 @@ class PointNet2ClsSSG(nn.Module):
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
                  deterministic: Optional[bool] = None):
         det = (not train) if deterministic is None else deterministic
+        sa_dt = _dbg_dtype("sa", self.dtype)
+        hd_dt = _dbg_dtype("head", self.dtype)
         xyz = points[..., :3]
         feats = points[..., 3:6] if self.normal_channel else None
         xyz, f = SetAbstraction(512, 0.2, 32, (64, 64, 128), name="sa1",
                                 knn=self.knn,
-                                dtype=self.dtype)(xyz, feats, train,
-                                                  bn_momentum)
+                                dtype=sa_dt)(xyz, feats, train,
+                                             bn_momentum)
         xyz, f = SetAbstraction(128, 0.4, 64, (128, 128, 256), name="sa2",
                                 knn=self.knn,
-                                dtype=self.dtype)(xyz, f, train, bn_momentum)
+                                dtype=sa_dt)(xyz, f, train, bn_momentum)
         _, f = SetAbstraction(mlp=(256, 512, 1024), group_all=True,
-                              name="sa3", dtype=self.dtype)(
+                              name="sa3", dtype=_dbg_dtype(
+                                  "sa3", sa_dt))(
                                   xyz, f, train, bn_momentum)
         h = f[:, 0]  # [B,1024]
         for i, (w, p) in enumerate(((512, 0.4), (256, 0.4))):
-            h = nn.Dense(w, name=f"fc{i+1}", dtype=self.dtype)(h)
-            h = BatchNorm(name=f"bn{i+1}", dtype=self.dtype)(
+            h = nn.Dense(w, name=f"fc{i+1}", dtype=hd_dt)(h)
+            h = BatchNorm(name=f"bn{i+1}", dtype=hd_dt)(
                 h, use_running_average=not train, momentum=bn_momentum)
             h = nn.relu(h)
             h = nn.Dropout(p, deterministic=det, name=f"drop{i+1}")(h)
-        h = nn.Dense(self.num_class, name="fc3", dtype=self.dtype)(h)
+        h = nn.Dense(self.num_class, name="fc3", dtype=hd_dt)(h)
         return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 

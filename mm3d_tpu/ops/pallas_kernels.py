@@ -581,9 +581,15 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     lane_rep = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
     kv = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
     cnt_rep = jnp.broadcast_to(cnt[:, None, :], (St, K, 1)).reshape(R, 1)
-    oh = rank_rep == kv + 1
-    # zero-hit centroids clamp to index 0 (lineage padding semantics)
-    oh = oh | ((kv == 0) & (cnt_rep == 0) & (lane_rep == 0))
+    # slots past the hit count re-select the cnt-th (last) hit instead
+    # of carrying a separate live-mask through the MLP: duplicates of a
+    # live slot leave the max unchanged (the lineage pads with the
+    # FIRST hit — also a duplicate), and the [R,C3] -inf masking pass
+    # disappears.  k=0 stays clamped to >= 1 so zero-hit rows fall
+    # through to the index-0 clamp below.
+    oh = rank_rep == jnp.minimum(kv + 1, jnp.maximum(cnt_rep, 1))
+    # zero-hit centroids: ALL K slots read index 0 (lineage semantics)
+    oh = oh | ((cnt_rep == 0) & (lane_rep == 0))
 
     pre = pre_ref[:]        # [N, C1p], BN pre-folded
     dt = pre.dtype
@@ -615,11 +621,7 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     h = jnp.dot(h, w2_ref[:], precision=prec,
                 preferred_element_type=jnp.float32)
     h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
-
-    # rows beyond the hit count are padding duplicates in the reference
-    # semantics — mask them out of the max (k=0 is always live)
-    live = kv < jnp.maximum(cnt_rep, 1)
-    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
+    # no live-mask needed: overflow slots are exact duplicates (above)
     out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
 
 
@@ -782,7 +784,12 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
         kv = row >> (St.bit_length() - 1)
     else:
         kv = row // St
-    kv1 = (kv + 1).astype(jnp.bfloat16)
+    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] i32
+    # overflow slots re-select the cnt-th hit (duplicates leave the max
+    # unchanged — see _fused_sa_kernel); min computed in int32, result
+    # <= K <= 128 so the bf16 cast is exact
+    kv1i = jnp.minimum(kv + 1, jnp.maximum(cnt_rep, 1))
+    kv1 = kv1i.astype(jnp.bfloat16)
     # packed one-hot: sum of per-block arithmetic one-hots (global
     # ranks — at most one block matches any k+1)
     oh = None
@@ -790,7 +797,6 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
         rq = pltpu.repeat(rank_m[:, q * NP:(q + 1) * NP], K, axis=0)
         ohq = jnp.maximum(1.0 - jnp.abs(rq - kv1), 0.0)
         oh = ohq if oh is None else oh + ohq
-    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] i32
 
     pre = pre_ref[:]        # [NP, P*C1 padded to lanes], BN pre-folded
     dt = pre.dtype
@@ -808,9 +814,11 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
         g2 = jnp.dot(oh, pre, preferred_element_type=jnp.float32)
 
     if P > 1:
-        # block of the (k+1)-th hit: q* = #{q : cum_cnt_q < k+1} - 1,
-        # where cum_cnt_q counts hits in blocks < q (tiny [R,1] algebra)
-        kv1i = kv + 1
+        # block of the selected (clamped) slot rank: q* = #{q :
+        # cum_cnt_q < kv1i} - 1, where cum_cnt_q counts hits in blocks
+        # < q (tiny [R,1] algebra).  kv1i is the CLAMPED rank from
+        # above — overflow slots must locate the cnt-th hit's block,
+        # not the nonexistent (k+1)-th.
         cum = jnp.zeros_like(cnt)
         bstar = jnp.zeros_like(kv)
         for q in range(1, P):
@@ -824,8 +832,9 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
             g = jnp.where(bstar == q, g2[:, q * C1:(q + 1) * C1], g)
     else:
         g = g2[:, :C1]
-    # zero-hit centroids read global index 0 = packed row 0, block 0
-    g = jnp.where((cnt_rep == 0) & (kv == 0),
+    # zero-hit centroids: ALL K slots read global index 0 = packed row
+    # 0, block 0 (lineage semantics; no live-mask downstream)
+    g = jnp.where(cnt_rep == 0,
                   pre_ref[0:1, :C1].astype(jnp.float32), g)
     cb_rep = pltpu.repeat(cbias_ref[:], K, axis=0)      # [R, C1pad]
     h = jnp.maximum(g.astype(dt) + cb_rep[:, :C1], 0.0)
@@ -836,8 +845,8 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
                 preferred_element_type=jnp.float32)
     h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
 
-    live = kv < jnp.maximum(cnt_rep, 1)
-    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
+    # no live-mask: overflow slots are exact duplicates of the cnt-th
+    # hit (or of the index-0 clamp), so the K-slice max is unaffected
     acc = h[0:St]
     for k in range(1, K):
         acc = jnp.maximum(acc, h[k * St:(k + 1) * St])
@@ -1200,6 +1209,119 @@ def _bilinear_bwd(res, g):
 bilinear_sample_pallas.defvjp(_bilinear_fwd, _bilinear_bwd)
 
 
+# ---------------------------------------------- fused FP-tail kernel
+
+
+def _fused_fp_kernel(m_actual: int, dense_ref, sparse_t_ref, pre_ref,
+                     skip_ref, out_ref):
+    """Whole FP-block tail in one Pallas call (eval mode):
+
+        three_nn -> inverse-distance weights -> sparse-row interp matmul
+        -> + skip/bias term -> relu
+
+    Same design as the bilinear kernel: each dense point's interpolation
+    is a 3-nonzero row over the sparse axis, built on the VPU from the
+    three extract-min one-hots, and the gather+lerp collapses into ONE
+    MXU matmul [nt, Mp] x [Mp, C1] — the [B,N,3,C] gathered tensor of
+    the unfused composition never exists.  `pre` is the projected sparse
+    features with eval-BN folded in (f2 @ W_interp, scaled); `skip` is
+    the dense-side term ((f1 @ W_skip + bias) folded) computed outside —
+    that matmul is dense and XLA-optimal already.
+
+    Parity contract: identical math to geometry.three_nn +
+    interpolation_weights (lineage eps 1e-8) + three_interpolate
+    (tests/test_fused_fp.py).
+    """
+    Nt = dense_ref.shape[0]
+    _, M = sparse_t_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Nt, M), 1)
+    a = dense_ref[:]
+    b = sparse_t_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+    d2 = jnp.where(lane < m_actual, d2, jnp.inf)
+
+    # 3-step extract-min (first-occurrence argmin, = lax.top_k order),
+    # accumulating reciprocal-weighted one-hot rows
+    rows = jnp.zeros((Nt, M), jnp.float32)
+    rsum = jnp.zeros((Nt, 1), jnp.float32)
+    for _ in range(3):
+        minv = jnp.min(d2, axis=1, keepdims=True)
+        oh = (d2 == minv) & (lane == jnp.min(
+            jnp.where(d2 == minv, lane, M), axis=1, keepdims=True))
+        val = jnp.sum(jnp.where(oh, d2, 0.0), axis=1, keepdims=True)
+        r = 1.0 / (val + 1e-8)
+        rows = rows + jnp.where(oh, r, 0.0)
+        rsum = rsum + r
+        d2 = jnp.where(oh, jnp.inf, d2)
+    rows = rows * (1.0 / rsum)  # normalized inverse-distance weights
+
+    pre = pre_ref[:]
+    if pre.dtype == jnp.float32:
+        interp = jnp.dot(rows, pre, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+    else:
+        interp = jnp.dot(rows.astype(jnp.bfloat16), pre,
+                         preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.maximum(
+        interp.astype(out_ref.dtype) + skip_ref[:], 0.0)
+
+
+def fused_fp_pallas(xyz1: jax.Array, xyz2: jax.Array, pre: jax.Array,
+                    skip: jax.Array, interpret: bool = None) -> jax.Array:
+    """Fused FP tail: relu(three_interpolate(pre) + skip) in one kernel.
+
+    Args:
+      xyz1 [B,N,3] dense targets; xyz2 [B,M,3] sparse sources.
+      pre  [B,M,C1]: projected sparse features (BN pre-folded).
+      skip [B,N,C1]: dense-side additive term (skip-proj + bias, folded).
+    Returns [B,N,C1].
+    """
+    B, N, _ = xyz1.shape
+    M = xyz2.shape[1]
+    C1 = pre.shape[-1]
+    dt = pre.dtype
+    Mp = _round_up(M, 128)
+    Np = _round_up(N, 8)
+    C1p = _round_up(C1, 128)
+    dense = jnp.pad(xyz1.astype(jnp.float32), ((0, 0), (0, Np - N), (0, 5)))
+    sparse_t = jnp.pad(
+        jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2),
+        ((0, 0), (0, 5), (0, Mp - M)))
+    pre_p = jnp.pad(pre, ((0, 0), (0, Mp - M), (0, C1p - C1)))
+    skip_p = jnp.pad(skip.astype(dt), ((0, 0), (0, Np - N), (0, C1p - C1)))
+    # [nt, Mp] f32 row/d2 tiles dominate VMEM
+    nt_cap = max(8, (4 * 1024 * 1024) // (8 * Mp))
+    nt = Np
+    while nt > nt_cap and nt % 2 == 0:
+        nt //= 2
+    grid = (B, Np // nt)
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = pl.pallas_call(
+        functools.partial(_fused_fp_kernel, M),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, nt, 8), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 8, Mp), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Mp, C1p), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, nt, C1p), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, nt, C1p), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, C1p), dt),
+        interpret=interpret,
+    )(dense, sparse_t, pre_p, skip_p)
+    return out[:, :N, :C1]
+
+
 # ------------------------------------------- gather backward (scatter-add)
 
 
@@ -1316,6 +1438,7 @@ def _register():
     # scatter-add BACKWARD (the expensive side) already routes through
     # gather_bwd_pallas via index_points' custom VJP either way.
     dispatch.register_kernel("fused_sa", fused_sa_pallas)
+    dispatch.register_kernel("fused_fp", fused_fp_pallas)
     dispatch.register_kernel("gather_backward", gather_bwd_pallas)
     dispatch.register_kernel("bilinear_sample", bilinear_sample_pallas)
 

@@ -127,6 +127,27 @@ def main():
     if not ok:
         failures.append("fused_sa")
 
+    # fused FP-tail kernel (three_nn + inverse-distance interp + skip +
+    # relu in one Pallas call) vs the op composition, compiled, fp32
+    x1 = jnp.asarray(rng.randn(4, 1024, 3).astype(np.float32))
+    x2 = x1[:, :256]
+    prefp = jnp.asarray(rng.randn(4, 256, 128).astype(np.float32))
+    skfp = jnp.asarray(rng.randn(4, 1024, 128).astype(np.float32))
+
+    def fp_comp(p):
+        d, i3 = ops.three_nn(x1, x2)
+        w = G.interpolation_weights(d)
+        return jax.nn.relu(ops.three_interpolate(p, i3, w) + skfp)
+
+    want_fp = np.asarray(jax.jit(fp_comp)(prefp))
+    got_fp = np.asarray(jax.jit(
+        lambda p: pk.fused_fp_pallas(x1, x2, p, skfp))(prefp))
+    ok = np.allclose(got_fp, want_fp, rtol=1e-5, atol=1e-4)
+    print(f"fused_fp_pallas == op composition (fp32): {bool(ok)} "
+          f"(maxdiff {np.abs(got_fp - want_fp).max():.3g})")
+    if not ok:
+        failures.append("fused_fp")
+
     # full-model eval logits: fused Pallas path vs pure-JAX path on TPU
     from mm3d_tpu.models import get_model
     spec = get_model("pointnet2_cls_ssg")
