@@ -853,6 +853,82 @@ def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
     out_ref[:] = acc
 
 
+def _fused_sa_kernel_v6(radius2: float, nsample: int, n_actual: int,
+                        use_tri: bool, new_ref, xyzt_ref, *rest_refs):
+    """v6 fused SA tail: v2's s-major layout with a MINIMAL one-hot.
+
+    The VPU floor scales with ALU ops per [St*K, N] element, not with
+    how the stack is laid out (v5's K-loop, same total ops, measured a
+    wash).  v6 strips the build to the minimum: one broadcast
+    materialization + one integer compare + one cast.  The zero-hit
+    clamp moves post-gather (one [R, C1] select against the pre[0] row
+    — v3's trick), which deletes BOTH the [R, N] lane-iota and the
+    or-pass of v2.  Overflow slots re-select the cnt-th hit via the
+    [R,1] clamp (no live-mask, as v2/v4).
+    """
+    if use_tri:
+        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    else:
+        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    St = new_ref.shape[0]
+    _, N = xyzt_ref.shape
+    K = nsample
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+
+    a = new_ref[:]
+    b = xyzt_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    if use_tri:
+        rank = jnp.dot(in_ball.astype(jnp.int8), tri_ref[:],
+                       preferred_element_type=jnp.int32) * in_ball
+    else:
+        rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    R = St * K
+    Cb = cbias_ref.shape[-1]
+    rank_rep = jnp.broadcast_to(rank[:, None, :], (St, K, N)).reshape(R, N)
+    kv = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
+    cnt_rep = jnp.broadcast_to(cnt[:, None, :], (St, K, 1)).reshape(R, 1)
+    kv1i = jnp.minimum(kv + 1, jnp.maximum(cnt_rep, 1))
+    ohb = (rank_rep == kv1i).astype(jnp.bfloat16)
+
+    pre = pre_ref[:]        # [N, C1p], BN pre-folded
+    dt = pre.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    if dt == jnp.float32:
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+    else:
+        g = jnp.dot(ohb, pre, preferred_element_type=jnp.float32)
+    # zero-hit centroids read index 0 (post-gather, [R, C1p] select)
+    g = jnp.where(cnt_rep == 0, pre_ref[0:1, :].astype(jnp.float32), g)
+    cb = cbias_ref[:]
+    cb_rep = jnp.broadcast_to(cb[:, None, :], (St, K, Cb)).reshape(R, Cb)
+    h = jnp.maximum(g.astype(dt) + cb_rep, 0.0)
+    h = jnp.dot(h, w1_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+    out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
+
+
 def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
                     new_xyz: jax.Array, pre: jax.Array, cbias: jax.Array,
                     w1: jax.Array, b1: jax.Array, w2: jax.Array,
@@ -871,8 +947,15 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
       version: kernel variant; None = measured-best per shape.  All
         versions are bit-identical on chip (scripts/proto_sa_v3.py):
         v4 (block-packed gather + k-major repeat one-hot) wins +12-13%
-        wherever the MXU triangular rank matmul is off (N != 1024);
-        at tri shapes v2 stays ahead by ~3% (r3 race, B=64 bf16).
+        wherever the MXU triangular rank matmul is off (N != 1024); at
+        tri shapes v6 (minimal 3-pass one-hot build, zero-hit clamp
+        post-gather) edges v2 by 1-2%.  r3 negative results (variants
+        raced on chip, then deleted): a K-loop that never materializes
+        the [St*K, N] stack tied v2 (3.54 ms SA1 — the VPU cost is the
+        per-element ALU work, not the layout), and an int8-rank compare
+        fails to compile in Mosaic (no packed narrow vector compare).
+        The one-hot build floor is ~3 full passes over [St*K, N] in
+        32-bit VPU lanes — v2/v4/v6 all sit on it.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -881,7 +964,7 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     dsz = jnp.dtype(dt).itemsize
     Np = _round_up(N, 128)
     if version is None:
-        version = 2 if Np == 1024 else 4
+        version = 6 if Np == 1024 else 4
     Sp = _round_up(S, 8)
     C1p, C2p, C3p = (_round_up(c, 128) for c in (C1, C2, C3))
 
@@ -925,8 +1008,8 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     if use_tri:
         tri = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
                <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1))
-        # v4 runs the rank matmul int8 (exact, 2x MXU rate)
-        tri = tri.astype(jnp.int8 if version == 4 else jnp.bfloat16)
+        # v4/v5 run the rank matmul int8 (exact, 2x MXU rate)
+        tri = tri.astype(jnp.int8 if version >= 4 else jnp.bfloat16)
         tri_in = [tri]
         tri_specs = [pl.BlockSpec((Np, Np), lambda bb, s: (0, 0),
                                   memory_space=pltpu.VMEM)]
@@ -940,7 +1023,14 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         tri_bytes = (Np * Np * (1 if version == 4 else 2)
                      if use_tri else 0)
         budget = 4 * 1024 * 1024 - tri_bytes
-        ohsz = 2 * (Np // P) if version >= 3 else dsz * Np
+        if version == 6:
+            # same tiling as v2 (measured: smaller tiles cost more in
+            # grid overhead than the naive VMEM accounting saves)
+            ohsz = dsz * Np
+        elif version >= 3:
+            ohsz = 2 * (Np // P)
+        else:
+            ohsz = dsz * Np
         if dsz == 4:
             # fp32 tiles also carry the 3-term bf16-split accumulators
             # and f32 MLP intermediates per one-hot row; without this
@@ -953,7 +1043,10 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         while Sp % st:
             st -= 1
     grid = (B, Sp // st)
-    if version == 4:
+    if version == 6:
+        kern = functools.partial(_fused_sa_kernel_v6, radius * radius,
+                                 nsample, N, use_tri)
+    elif version == 4:
         kern = functools.partial(_fused_sa_kernel_v4, radius * radius,
                                  nsample, N, use_tri, P, C1)
     elif version == 3:

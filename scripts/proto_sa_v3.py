@@ -62,12 +62,16 @@ def main():
             radius, K, xyz, new_xyz, p, cb, w1, b1, w2, b2, version=2))
         f4 = jax.jit(lambda p: pk.fused_sa_pallas(
             radius, K, xyz, new_xyz, p, cb, w1, b1, w2, b2, version=4))
+        f6 = jax.jit(lambda p: pk.fused_sa_pallas(
+            radius, K, xyz, new_xyz, p, cb, w1, b1, w2, b2, version=6))
         o2 = np.asarray(f2(pre), np.float32)
         o4 = np.asarray(f4(pre), np.float32)
+        o6 = np.asarray(f6(pre), np.float32)
         oref = np.asarray(jax.jit(lambda p: unfused_ref(
             radius, K, xyz, new_xyz, p, cb, w1, b1, w2, b2))(pre), np.float32)
         scale = max(np.abs(oref).max(), 1e-9)
         print(f"{name}: |v4-v2|max={np.abs(o4 - o2).max():.3e} "
+              f"|v6-v2|max={np.abs(o6 - o2).max():.3e} "
               f"|v4-ref|rel={np.abs(o4 - oref).max() / scale:.3e} "
               f"|v2-ref|rel={np.abs(o2 - oref).max() / scale:.3e}", flush=True)
 
@@ -79,8 +83,9 @@ def main():
 
         t2 = chain_time(chainable(f2), pre, k1=5, k2=25, reps=3) * 1e3
         t4 = chain_time(chainable(f4), pre, k1=5, k2=25, reps=3) * 1e3
-        print(f"{name}: v2 {t2:.3f} ms   v4 {t4:.3f} ms   "
-              f"ratio {t2 / max(t4, 1e-9):.2f}x", flush=True)
+        t6 = chain_time(chainable(f6), pre, k1=5, k2=25, reps=3) * 1e3
+        print(f"{name}: v2 {t2:.3f} v4 {t4:.3f} v6 {t6:.3f} ms"
+              f"   v2/v6 {t2 / max(t6, 1e-9):.2f}x", flush=True)
 
 
 if __name__ == "__main__":
