@@ -81,13 +81,14 @@ def test_semseg_model_pallas_fp_parity():
     model = spec.builder(num_class=13)
     r = np.random.RandomState(3)
     pts = jnp.asarray(r.randn(1, 512, 9).astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)},
-                           pts, train=True)
+    from _helpers import jit_init
+    variables = jit_init(model, {"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                         pts, train=True)
     with dispatch.use_impl("jax"):
-        ref, _ = model.apply(variables, pts, train=False)
+        ref, _ = jax.jit(lambda v: model.apply(v, pts, train=False))(variables)
     with dispatch.use_impl("pallas"):
-        out, _ = model.apply(variables, pts, train=False)
+        out, _ = jax.jit(lambda v: model.apply(v, pts, train=False))(variables)
     ref = np.asarray(ref)
     out = np.asarray(out)
     assert np.abs(out - ref).max() < 1e-4, np.abs(out - ref).max()

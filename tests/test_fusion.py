@@ -8,6 +8,7 @@ import numpy as np
 
 from mm3d_tpu.data import synthetic as syn
 from mm3d_tpu.models import get_model
+from _helpers import jit_init
 from mm3d_tpu.models.image import ImageEncoder
 from mm3d_tpu.ops import projection as proj
 
@@ -89,10 +90,11 @@ def test_fusion_cls_forward_and_attention():
         K = jnp.asarray(np.stack([syn.default_intrinsics((32, 32))] * 2))
         R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
         t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
-        v = m.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
-                   train=True)
-        logp, aux = m.apply(v, pts, img, K, R, t, train=False)
+        v = jit_init(m, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                     pts, img, K, R, t, train=True)
+        logp, aux = jax.jit(lambda v: m.apply(
+            v, pts, img, K, R, t, train=False))(v)
         assert logp.shape == (2, 4)
         np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0,
                                    rtol=1e-4)
@@ -109,18 +111,19 @@ def test_fusion_semseg_forward():
     K = jnp.asarray(np.stack([syn.default_intrinsics((32, 32))] * 2))
     R = jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * 2))
     t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
-    v = m.init({"params": jax.random.PRNGKey(0),
-                "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
-               train=True)
-    logp, aux = m.apply(v, pts, img, K, R, t, train=False)
+    v = jit_init(m, {"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)},
+                 pts, img, K, R, t, train=True)
+    logp, aux = jax.jit(lambda v: m.apply(
+        v, pts, img, K, R, t, train=False))(v)
     assert logp.shape == (2, 256, 13)
     assert aux["proj_valid"].shape == (2, 256)
 
 
 def test_fusion_train_smoke(tmp_path):
     from mm3d_tpu.training.loop import TrainConfig, Trainer
-    cfg = TrainConfig(model="fusion_cls", epochs=1, batch_size=8, npoint=64,
-                      train_size=16, test_size=8, num_class=4,
+    cfg = TrainConfig(model="fusion_cls", epochs=1, batch_size=4, npoint=64,
+                      train_size=8, test_size=4, num_class=4,
                       image_hw=(32, 32), log_dir=str(tmp_path),
                       checkpoint=False, log_every=1, augmentations=())
     tr = Trainer(cfg)
@@ -130,8 +133,8 @@ def test_fusion_train_smoke(tmp_path):
 
 def test_fusion_semseg_train_smoke(tmp_path):
     from mm3d_tpu.training.loop import TrainConfig, Trainer
-    cfg = TrainConfig(model="fusion_sem_seg", epochs=1, batch_size=4,
-                      npoint=128, train_size=8, test_size=4,
+    cfg = TrainConfig(model="fusion_sem_seg", epochs=1, batch_size=2,
+                      npoint=128, train_size=4, test_size=2,
                       image_hw=(32, 32), log_dir=str(tmp_path),
                       checkpoint=False, log_every=1, augmentations=())
     tr = Trainer(cfg)

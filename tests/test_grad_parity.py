@@ -11,17 +11,20 @@ import torch
 from mm3d_tpu.models import get_model
 from mm3d_tpu.models.pointnet import nll_loss
 from oracle import torch_models as tm
+from _helpers import jit_init
 
 
 def _trained_variables(model, args, nsteps=2):
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, *args, train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, *args,
+                 train=True)
     params, bs = v["params"], v["batch_stats"]
+    warm = jax.jit(lambda p, b, i: model.apply(
+        {"params": p, "batch_stats": b}, *args, train=True,
+        rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(2), i)},
+        mutable=["batch_stats"]))
     for i in range(nsteps):
-        _, mut = model.apply({"params": params, "batch_stats": bs}, *args,
-                             train=True,
-                             rngs={"dropout": jax.random.PRNGKey(2 + i)},
-                             mutable=["batch_stats"])
+        _, mut = warm(params, bs, i)
         bs = mut["batch_stats"]
     return {"params": params, "batch_stats": bs}
 
@@ -40,7 +43,7 @@ def test_pointnet2_cls_grads_match_torch():
         return nll_loss(logp, target)
 
     with jax.default_matmul_precision("float32"):
-        grads = jax.grad(loss_fn)(variables["params"])
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
 
     oracle = tm.PointNet2ClsSSG(num_class=5).eval()
     tm.load_pointnet2_cls_ssg(oracle, variables)
@@ -76,7 +79,7 @@ def test_partseg_fp_grads_match_torch():
         return nll_loss(logp, seg)
 
     with jax.default_matmul_precision("float32"):
-        grads = jax.grad(loss_fn)(variables["params"])
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
 
     oracle = tm.PointNet2PartSegSSG().eval()
     tm.load_pointnet2_part_seg_ssg(oracle, variables)

@@ -7,6 +7,7 @@ import numpy as np
 
 from mm3d_tpu.data import synthetic as syn
 from mm3d_tpu.models import get_model
+from _helpers import jit_init
 from mm3d_tpu.training import inference
 
 
@@ -23,9 +24,9 @@ def test_bf16_predictor_agrees_with_f32():
     spec = get_model("fusion_cls")
     args = _fusion_inputs()
     model = spec.builder(num_class=6)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        *args, train=True)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, *args, train=True)
     p32 = inference.make_predictor("fusion_cls", variables, num_class=6)
     pbf = inference.make_predictor("fusion_cls", variables,
                                    dtype=jnp.bfloat16, num_class=6)
@@ -43,9 +44,9 @@ def test_pointnet_bf16_agrees_with_f32():
     r = np.random.RandomState(2)
     pts = jnp.asarray(r.randn(8, 256, 3).astype(np.float32))
     model = spec.builder(num_class=8)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        pts, train=True)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, pts, train=True)
     p32 = inference.make_predictor("pointnet_cls", variables, num_class=8)
     pbf = inference.make_predictor("pointnet_cls", variables,
                                    dtype=jnp.bfloat16, num_class=8)
@@ -67,7 +68,7 @@ def test_pointnet2_bf16_forward():
     spec = get_model("pointnet2_cls_ssg")
     model = spec.builder(num_class=5, dtype=jnp.bfloat16)
     pts = jnp.asarray(np.random.RandomState(1).randn(2, 128, 3).astype(np.float32))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, train=True)
-    logp, _ = model.apply(v, pts, train=False)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts, train=True)
+    logp, _ = jax.jit(lambda v: model.apply(v, pts, train=False))(v)
     assert logp.dtype == jnp.float32 and bool(jnp.isfinite(logp).all())

@@ -9,18 +9,21 @@ import torch
 
 from mm3d_tpu.models import get_model
 from oracle import torch_models as tm
+from _helpers import jit_init
 
 
 def _trained_variables(model, args, nsteps=3):
     """Init + a few train-mode passes so BN stats are non-trivial."""
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, *args, train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, *args,
+                 train=True)
     params, bs = v["params"], v["batch_stats"]
+    warm = jax.jit(lambda p, b, i: model.apply(
+        {"params": p, "batch_stats": b}, *args, train=True,
+        rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(2), i)},
+        mutable=["batch_stats"]))
     for i in range(nsteps):
-        _, mut = model.apply({"params": params, "batch_stats": bs}, *args,
-                             train=True,
-                             rngs={"dropout": jax.random.PRNGKey(2 + i)},
-                             mutable=["batch_stats"])
+        _, mut = warm(params, bs, i)
         bs = mut["batch_stats"]
     return {"params": params, "batch_stats": bs}
 
@@ -31,7 +34,8 @@ def test_pointnet_cls_logits_match_torch():
     pts = jnp.asarray(np.random.RandomState(0).randn(2, 128, 3).astype(np.float32))
     variables = _trained_variables(model, (pts,))
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, train=False))(variables)
 
     oracle = tm.PointNetCls(num_class=7).eval()
     tm.load_pointnet_cls(oracle, variables)
@@ -47,7 +51,8 @@ def test_pointnet2_cls_msg_logits_match_torch():
     pts = jnp.asarray(np.random.RandomState(2).randn(2, 256, 3).astype(np.float32))
     variables = _trained_variables(model, (pts,), nsteps=2)
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, train=False))(variables)
 
     oracle = tm.PointNet2ClsMSG(num_class=5).eval()
     tm.load_pointnet2_cls_msg(oracle, variables)
@@ -65,7 +70,8 @@ def test_pointnet2_part_seg_ssg_logits_match_torch():
     onehot = jax.nn.one_hot(jnp.array([4, 9]), 16)
     variables = _trained_variables(model, (pts, onehot), nsteps=2)
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, onehot, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, onehot, train=False))(variables)
 
     oracle = tm.PointNet2PartSegSSG().eval()
     tm.load_pointnet2_part_seg_ssg(oracle, variables)
@@ -90,7 +96,8 @@ def test_fusion_cls_logits_match_torch():
     t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
     variables = _trained_variables(model, (pts, img, K, R, t), nsteps=2)
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, img, K, R, t, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, img, K, R, t, train=False))(variables)
 
     oracle = tm.FusionCls(num_class=6).eval()
     tm.load_fusion_cls(oracle, variables)
@@ -115,7 +122,8 @@ def test_fusion_semseg_logits_match_torch():
     t = jnp.asarray(np.array([[0, 0, 3.0]] * 2, np.float32))
     variables = _trained_variables(model, (pts, img, K, R, t), nsteps=2)
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, img, K, R, t, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, img, K, R, t, train=False))(variables)
 
     oracle = tm.FusionSemSeg(num_class=13, in_channels=9).eval()
     tm.load_fusion_semseg(oracle, variables)
@@ -135,7 +143,8 @@ def test_pointnet2_cls_ssg_logits_match_torch():
     pts = jnp.asarray(np.random.RandomState(1).randn(2, 256, 3).astype(np.float32))
     variables = _trained_variables(model, (pts,))
     with jax.default_matmul_precision("float32"):
-        logp_jax, _ = model.apply(variables, pts, train=False)
+        logp_jax, _ = jax.jit(lambda v: model.apply(
+            v, pts, train=False))(variables)
 
     oracle = tm.PointNet2ClsSSG(num_class=5).eval()
     tm.load_pointnet2_cls_ssg(oracle, variables)

@@ -8,17 +8,18 @@ import pytest
 
 from mm3d_tpu.models import get_model, available
 from mm3d_tpu.models import pointnet as pn
+from _helpers import jit_init
 
 
 def _init_and_apply(spec, points, extra=None, train=False):
     model = spec.builder()
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     args = (points,) if extra is None else (points, extra)
-    variables = model.init(rngs, *args, train=True)
-    out, mutated = model.apply(
-        variables, *args, train=train,
+    variables = jit_init(model, rngs, *args, train=True)
+    out, mutated = jax.jit(lambda v, a: model.apply(
+        v, *a, train=train,
         rngs={"dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats"] if train else [])
+        mutable=["batch_stats"] if train else []))(variables, args)
     return model, variables, out, mutated
 
 
@@ -73,7 +74,7 @@ def test_train_mode_updates_batch_stats_and_dropout_is_stochastic():
     pts = _points(2, 128)
     model = spec.builder()
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, pts, train=True)
+    variables = jit_init(model, rngs, pts, train=True)
     (out1, _), mut = model.apply(
         variables, pts, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
         mutable=["batch_stats"])
@@ -94,9 +95,9 @@ def test_gradients_flow():
     spec = get_model("pointnet_cls")
     pts = _points(2, 128)
     model = spec.builder()
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        pts, train=True)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, pts, train=True)
 
     def loss_fn(params):
         (logp, aux), _ = model.apply(
@@ -105,7 +106,7 @@ def test_gradients_flow():
             mutable=["batch_stats"])
         return spec.loss(logp, jnp.array([1, 2]), aux)
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     bad = []
     for path, g in flat:
@@ -163,14 +164,14 @@ def test_bf16_dtype_plumbing(name):
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     if "part_seg" in name:
         onehot = jax.nn.one_hot(jnp.array([2]), 16)
-        variables = model.init(rngs, pts, onehot, train=True)
-        (logp, _), _ = model.apply(
-            variables, pts, onehot, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(2)})
+        variables = jit_init(model, rngs, pts, onehot, train=True)
+        (logp, _), _ = jax.jit(lambda v: model.apply(
+            v, pts, onehot, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)}))(variables)
     else:
-        variables = model.init(rngs, pts, train=True)
-        (logp, _), _ = model.apply(
-            variables, pts, train=True, mutable=["batch_stats"],
-            rngs={"dropout": jax.random.PRNGKey(2)})
+        variables = jit_init(model, rngs, pts, train=True)
+        (logp, _), _ = jax.jit(lambda v: model.apply(
+            v, pts, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)}))(variables)
     assert logp.dtype == jnp.float32
     assert np.isfinite(np.asarray(logp)).all()

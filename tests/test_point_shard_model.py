@@ -9,6 +9,7 @@ import pytest
 
 from mm3d_tpu import parallel
 from mm3d_tpu.models import get_model
+from _helpers import jit_init
 
 
 @pytest.mark.parametrize("n_dev", [8])
@@ -21,9 +22,9 @@ def test_semseg_point_sharded_eval_matches_single_device(n_dev):
     r = np.random.RandomState(0)
     B, N = 2, 4096
     pts = jnp.asarray(r.randn(B, N, 9).astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)},
-                           pts, train=True)
+    variables = jit_init(model, {"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                         pts, train=True)
 
     ref, _ = jax.jit(lambda v, p: model.apply(v, p, train=False))(
         variables, pts)
@@ -44,9 +45,9 @@ def test_cls_point_sharded_eval_matches_single_device():
     model = spec.builder(num_class=10)
     r = np.random.RandomState(1)
     pts = jnp.asarray(r.randn(2, 1024, 3).astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "dropout": jax.random.PRNGKey(1)},
-                           pts, train=True)
+    variables = jit_init(model, {"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                         pts, train=True)
     ref, _ = jax.jit(lambda v, p: model.apply(v, p, train=False))(
         variables, pts)
     with parallel.point_shard(mesh, min_points=1024):

@@ -62,7 +62,9 @@ def _mk(seed, B, N, S, K, C1, C2, C3, radius, zero_hit=False):
 
 @pytest.mark.parametrize("B,N,S,K,radius,zero_hit", [
     (2, 96, 24, 16, 0.4, True),      # unaligned + zero-hit centroid
-    (2, 128, 64, 32, 0.2, False),    # duplicate-heavy padding
+    pytest.param(2, 128, 64, 32, 0.2, False,   # duplicate-heavy padding
+                 marks=pytest.mark.slow),      # gated-off path: one case
+                                               # suffices by default
 ])
 def test_sa_train_cv_matches_reference(B, N, S, K, radius, zero_hit):
     idx, args, co = _mk(0, B, N, S, K, 12, 16, 24, radius, zero_hit)
@@ -113,6 +115,7 @@ def test_sa_train_cv_matches_reference(B, N, S, K, radius, zero_hit):
                                    atol=2e-3, err_msg=f"grad {n}")
 
 
+@pytest.mark.slow  # dormant negative-result path (VERDICT r2 item 10)
 def test_setabstraction_module_fused_vs_unfused():
     model = SetAbstraction(16, 0.4, 8, (16, 16, 32))
     r = np.random.RandomState(1)

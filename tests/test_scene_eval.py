@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+from _helpers import jit_init
 
 from mm3d_tpu.training import scene_eval
 
@@ -54,8 +55,9 @@ def test_evaluate_scene_with_real_model():
     spec = get_model("pointnet2_sem_seg")
     model = spec.builder(num_class=13)
     pts0 = jnp.zeros((2, 256, 9), jnp.float32)
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts0, train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts0,
+                 train=True)
     predict = jax.jit(lambda p: model.apply(v, p, train=False)[0])
     pred, metrics = scene_eval.evaluate_scene(
         predict, xyz, labels=labels, rgb=rgb, num_classes=13,
@@ -79,9 +81,9 @@ def test_evaluate_scene_multimodal_fusion_model():
     K0 = jnp.broadcast_to(jnp.asarray(default_intrinsics(hw)), (2, 3, 3))
     R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (2, 3, 3))
     t0 = jnp.tile(jnp.asarray([0.0, 0.0, 3.0], jnp.float32), (2, 1))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)},
-                   pts0, img0, K0, R0, t0, train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                 pts0, img0, K0, R0, t0, train=True)
     predict = jax.jit(
         lambda p, i, k, r, t: model.apply(v, p, i, k, r, t,
                                           train=False)[0])

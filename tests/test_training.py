@@ -46,7 +46,7 @@ def test_pointnet2_trains_and_learns(tmp_path):
     # variance is ~1e-3, so the default 0.1 momentum needs ~100+ steps to
     # converge before eval mode is meaningful (torch-identical behavior).
     cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=3,
-                    train_size=48, test_size=32, batch_size=8,
+                    train_size=32, test_size=16, batch_size=8,
                     bn_init_momentum=0.5, augmentations=())
     tr = Trainer(cfg)
     result = tr.fit()
@@ -55,7 +55,7 @@ def test_pointnet2_trains_and_learns(tmp_path):
 
 def test_partseg_train_smoke(tmp_path):
     cfg = _tiny_cfg(tmp_path, "pointnet2_part_seg_ssg", npoint=128,
-                    batch_size=4, train_size=16, test_size=8)
+                    epochs=1, batch_size=2, train_size=6, test_size=4)
     tr = Trainer(cfg)
     result = tr.fit()
     assert "instance_miou" in result and "class_miou" in result
@@ -64,7 +64,7 @@ def test_partseg_train_smoke(tmp_path):
 
 def test_semseg_train_smoke(tmp_path):
     cfg = _tiny_cfg(tmp_path, "pointnet2_sem_seg", npoint=256,
-                    batch_size=4, train_size=16, test_size=8)
+                    epochs=1, batch_size=2, train_size=6, test_size=4)
     tr = Trainer(cfg)
     result = tr.fit()
     assert "miou" in result and 0.0 <= result["miou"] <= 1.0
@@ -72,14 +72,15 @@ def test_semseg_train_smoke(tmp_path):
 
 def test_checkpoint_resume_roundtrip(tmp_path):
     cfg = _tiny_cfg(tmp_path, "pointnet_cls", checkpoint=True,
-                    run_name="ckpt_run")
+                    train_size=16, test_size=8, run_name="ckpt_run")
     tr = Trainer(cfg)
     tr.fit()
     step_before = int(tr.state.step)
     params_before = tr.state.params
     # new trainer resumes from the same run dir
     cfg2 = _tiny_cfg(tmp_path, "pointnet_cls", checkpoint=True,
-                     run_name="ckpt_run", resume=True)
+                     train_size=16, test_size=8, run_name="ckpt_run",
+                     resume=True)
     tr2 = Trainer(cfg2)
     assert int(tr2.state.step) == step_before
     import jax
@@ -103,7 +104,7 @@ def test_bf16_mixed_precision_training_learns(tmp_path):
     weights) — the standard TPU recipe; 42.2 -> 24.9 ms/step measured
     on v5e.  Gate: it trains end to end and the loss is finite."""
     cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", dtype="bfloat16",
-                    augmentations=())
+                    epochs=1, train_size=16, test_size=8, augmentations=())
     tr = Trainer(cfg)
     result = tr.fit()
     assert np.isfinite(result["eval_loss"])
