@@ -62,6 +62,14 @@ class TrainConfig:
     # step on v5e for pn2_cls_ssg B=64 and converges on the synthetic
     # tasks; the fp32 default remains the torch-parity mode.
     dtype: str = "float32"
+    # BN re-estimation before each eval: run this many forward-only
+    # train-mode passes (momentum 0.5, params/optimizer untouched) so
+    # running stats match the current weights.  None -> 8 in bf16 mode,
+    # 0 in fp32 (exact lineage behavior).  Measured necessity: with the
+    # lineage's default annealed momentum, bf16 training's running
+    # stats lag the activation statistics and eval decays to ~55%
+    # while a 10-pass refresh restores 95% (weights are fine).
+    bn_refresh_steps: Optional[int] = None
     # eval-side compute dtype.  Training keeps f32 eval even in bf16
     # mode (BN warm-up scales break bf16 eval); the serving CLI
     # (test.py --dtype bfloat16) opts into bf16 eval on converged
@@ -178,6 +186,13 @@ class Trainer:
             self.model, self.spec.loss, self.tx, self.task,
             augment_names=tuple(augs), num_category=cfg.num_category,
             class_weights=cw)
+        self._bn_refresh_n = cfg.bn_refresh_steps
+        if self._bn_refresh_n is None:
+            self._bn_refresh_n = 8 if cfg.dtype == "bfloat16" else 0
+        self.bn_refresh_step = (steps.make_bn_refresh_step(
+            self.model, self.task, augment_names=tuple(augs),
+            num_category=cfg.num_category)
+            if self._bn_refresh_n else None)
         eval_kwargs = {}
         if self.task == "partseg":
             ranges = syn.shapenet_part_ranges()
@@ -256,6 +271,16 @@ class Trainer:
         return out
 
     def evaluate(self) -> dict:
+        if self.bn_refresh_step is not None:
+            key = jax.random.PRNGKey(self.cfg.seed + 17)
+            # large fixed epoch index: distinct shuffle stream, and
+            # numpy seeding requires a non-negative value
+            for i, batch in enumerate(self.train_pipe.epoch(1 << 20)):
+                if i >= self._bn_refresh_n:
+                    break
+                bs = self.bn_refresh_step(self.state, batch,
+                                          jax.random.fold_in(key, i))
+                self.state = self.state.replace(batch_stats=bs)
         task = self.task
         total_correct = 0
         total_count = 0

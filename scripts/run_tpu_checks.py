@@ -170,6 +170,29 @@ def main():
     if not ok:
         failures.append("model_fused_logits")
 
+    # semseg eval logits on TPU: auto (fused SA + fused FP) vs pure JAX
+    # — fp32 auto now routes the FP tail through the Pallas kernel, so
+    # the on-chip quality gate must cover a per-point FP-path model too
+    spec = get_model("pointnet2_sem_seg")
+    smodel = spec.builder(num_class=13)
+    spts = jnp.asarray(rng.randn(2, 1024, 9).astype(np.float32) * 0.5)
+    svars = jax.jit(
+        lambda p: smodel.init({"params": jax.random.PRNGKey(0),
+                               "dropout": jax.random.PRNGKey(1)},
+                              p, train=True))(spts)
+    with ops.use_impl("jax"):
+        sl_jax, _ = jax.jit(
+            lambda v, p: smodel.apply(v, p, train=False))(svars, spts)
+    with ops.use_impl("auto"):
+        sl_pal, _ = jax.jit(
+            lambda v, p: smodel.apply(v, p, train=False))(svars, spts)
+    d = np.abs(np.asarray(sl_jax) - np.asarray(sl_pal)).max()
+    ok = d < 1e-3
+    print(f"pn2_sem_seg eval logits (fused SA+FP) auto-vs-jax on TPU: "
+          f"{bool(ok)} (maxdiff {d:.3g})")
+    if not ok:
+        failures.append("semseg_fused_logits")
+
     if failures:
         print("FAILED:", failures)
         sys.exit(1)

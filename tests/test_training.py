@@ -104,7 +104,9 @@ def test_bf16_mixed_precision_training_learns(tmp_path):
     weights) — the standard TPU recipe; 42.2 -> 24.9 ms/step measured
     on v5e.  Gate: it trains end to end and the loss is finite."""
     cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", dtype="bfloat16",
-                    epochs=1, train_size=16, test_size=8, augmentations=())
+                    epochs=1, train_size=16, test_size=8,
+                    bn_refresh_steps=2,  # exercise the refresh path cheaply
+                    augmentations=())
     tr = Trainer(cfg)
     result = tr.fit()
     assert np.isfinite(result["eval_loss"])
