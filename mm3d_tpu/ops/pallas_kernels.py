@@ -858,7 +858,8 @@ def _fused_sa_kernel_v6(radius2: float, nsample: int, n_actual: int,
     """v6 fused SA tail: v2's s-major layout with a MINIMAL one-hot.
 
     The VPU floor scales with ALU ops per [St*K, N] element, not with
-    how the stack is laid out (v5's K-loop, same total ops, measured a
+    how the stack is laid out (a K-loop variant that never built the
+    stack — same total ops — measured a
     wash).  v6 strips the build to the minimum: one broadcast
     materialization + one integer compare + one cast.  The zero-hit
     clamp moves post-gather (one [R, C1] select against the pre[0] row
@@ -1008,7 +1009,7 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     if use_tri:
         tri = (jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
                <= jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1))
-        # v4/v5 run the rank matmul int8 (exact, 2x MXU rate)
+        # v4/v6 run the rank matmul int8 (exact, 2x MXU rate)
         tri = tri.astype(jnp.int8 if version >= 4 else jnp.bfloat16)
         tri_in = [tri]
         tri_specs = [pl.BlockSpec((Np, Np), lambda bb, s: (0, 0),
