@@ -50,7 +50,12 @@ class PointTrunkDense(nn.Module):
     def __call__(self, xyz, feats=None, train: bool = True,
                  bn_momentum: float = 0.1):
         l1_xyz, l1_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
-                                      name="sa1", dtype=self.dtype)(
+                                      name="sa1",
+                                      # raw mixed-scale block features —
+                                      # same bf16-train hole as semseg
+                                      # sa1 (see SetAbstraction)
+                                      f32_train_guard=True,
+                                      dtype=self.dtype)(
                                           xyz, feats, train, bn_momentum)
         l2_xyz, l2_f = SetAbstraction(64, 0.4, 64, (128, 128, 256),
                                       name="sa2", dtype=self.dtype)(

@@ -102,11 +102,23 @@ class SetAbstraction(nn.Module):
     project_first: bool = True
     knn: bool = False  # kNN grouping instead of ball query
     dtype: Optional[object] = None  # compute dtype for the MLP stack
+    # Force THIS block to f32 during bf16 TRAINING (serving stays bf16).
+    # Set by models whose first SA consumes raw mixed-scale features
+    # (semseg 9-dim block features carry room-scale absolute coords):
+    # even with f32 recentering, casting the recentered-geometry +
+    # large-feature sum to bf16 drowns the local signal in rounding of
+    # the large terms.  Measured (r3 bisection, 15-ep semseg pair):
+    # full-bf16 mIoU 0.47 vs fp32 0.65; sa1-f32 alone restores 0.73.
+    f32_train_guard: bool = False
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
         # xyz [B,N,3], feats [B,N,D] or None
+        dt = self.dtype
+        if (self.f32_train_guard and train and dt is not None
+                and jnp.dtype(dt) == jnp.bfloat16):
+            dt = None
         if self.group_all or not self.project_first:
             mdt = self.dtype
             if (self.group_all and train and mdt is not None
@@ -139,10 +151,10 @@ class SetAbstraction(nn.Module):
         # xyz/weights or the documented cancellation fix runs on
         # already-rounded inputs (ADVICE r2 medium; matches the MSG path)
         cat32, kernel32, bias32 = cat, kernel, bias
-        if self.dtype is not None:
-            cat = cat.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
-            bias = bias.astype(self.dtype)
+        if dt is not None:
+            cat = cat.astype(dt)
+            kernel = kernel.astype(dt)
+            bias = bias.astype(dt)
         pre = cat @ kernel  # [B,N,C1]
         # point-sharding context (parallel/point_shard.py): big-N eval
         # blocks run FPS + the whole SA tail SPMD over the mesh's
@@ -161,9 +173,9 @@ class SetAbstraction(nn.Module):
         new_xyz = ops.index_points(xyz, fps_idx)
         cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
         bn = BatchNorm(name="proj_bn",
-                       dtype=_dbg_dtype("sa_bn", self.dtype))
+                       dtype=_dbg_dtype("sa_bn", dt))
         rest = (SharedMLP(self.mlp[1:], name="mlp_rest",
-                          dtype=_dbg_dtype("sa_rest", self.dtype))
+                          dtype=_dbg_dtype("sa_rest", dt))
                 if len(self.mlp) > 1 else None)
 
         if use_sharded:
@@ -190,7 +202,7 @@ class SetAbstraction(nn.Module):
 
         fused_tr = (dispatch.kernel_or_none("fused_sa_train")
                     if (train and len(self.mlp) == 3 and not self.knn
-                        and self.dtype is None
+                        and dt is None
                         and _want_fused_sa_train()) else None)
         if fused_tr is not None:
             # train path: batch-norm statistics are computed by streaming
@@ -215,7 +227,7 @@ class SetAbstraction(nn.Module):
         else:
             idx = ops.query_ball_point(self.radius, self.nsample,
                                        xyz, new_xyz)
-        if self.dtype is not None and train:
+        if dt is not None and train:
             # bf16 training: `gathered - cterm` cancels two O(1) terms
             # to recover the small local-geometry signal — in bf16 that
             # cancellation leaves ~5 bits and training plateaus
@@ -229,7 +241,7 @@ class SetAbstraction(nn.Module):
             gathered = ops.index_points(pre32, idx)
             h = (gathered - ct32[:, :, None, :]
                  + bias32.astype(jnp.float32)).astype(
-                     _dbg_dtype("sa_h", self.dtype) or jnp.float32)
+                     _dbg_dtype("sa_h", dt) or jnp.float32)
         else:
             gathered = ops.index_points(pre, idx)  # [B,S,K,C1]
             h = gathered - cterm[:, :, None, :] + bias
@@ -250,10 +262,15 @@ class SetAbstractionMsg(nn.Module):
     mlp_list: Sequence[Sequence[int]]
     project_first: bool = True  # see SetAbstraction docstring
     dtype: Optional[object] = None
+    f32_train_guard: bool = False  # see SetAbstraction
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
+        dt = self.dtype
+        if (self.f32_train_guard and train and dt is not None
+                and jnp.dtype(dt) == jnp.bfloat16):
+            dt = None
         fps_idx = ops.farthest_point_sample(xyz, self.npoint)
         new_xyz = ops.index_points(xyz, fps_idx)
         cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
@@ -267,15 +284,15 @@ class SetAbstractionMsg(nn.Module):
                 bias = self.param(f"proj_bias_{i}", nn.initializers.zeros,
                                   (mlp[0],))
                 cati, kerneli, biasi = cat, kernel, bias
-                if self.dtype is not None:
-                    cati = cat.astype(self.dtype)
-                    kerneli = kernel.astype(self.dtype)
-                    biasi = bias.astype(self.dtype)
+                if dt is not None:
+                    cati = cat.astype(dt)
+                    kerneli = kernel.astype(dt)
+                    biasi = bias.astype(dt)
                 pre = cati @ kerneli
                 cterm = new_xyz.astype(pre.dtype) @ kerneli[:3]
-                bn = BatchNorm(name=f"proj_bn_{i}", dtype=self.dtype)
+                bn = BatchNorm(name=f"proj_bn_{i}", dtype=dt)
                 rest = (SharedMLP(mlp[1:], name=f"mlp_rest_{i}",
-                                  dtype=self.dtype)
+                                  dtype=dt)
                         if len(mlp) > 1 else None)
                 fused = (dispatch.kernel_or_none("fused_sa")
                          if _want_fused_sa(train, mlp, self.dtype)
@@ -290,7 +307,7 @@ class SetAbstractionMsg(nn.Module):
                     continue
                 fused_tr = (dispatch.kernel_or_none("fused_sa_train")
                             if (train and len(mlp) == 3
-                                and self.dtype is None
+                                and dt is None
                                 and _want_fused_sa_train()) else None)
                 if fused_tr is not None:
                     # train-mode fusion per scale (see SetAbstraction)
@@ -308,7 +325,7 @@ class SetAbstractionMsg(nn.Module):
                     outs.append(o)
                     continue
                 idx = ops.query_ball_point(r, k, xyz, new_xyz)
-                if self.dtype is not None and train:
+                if dt is not None and train:
                     # f32 recentering under bf16 training — see
                     # SetAbstraction (cancellation eats the local
                     # geometry signal in bf16)
@@ -318,7 +335,7 @@ class SetAbstractionMsg(nn.Module):
                             @ kernel[:3].astype(jnp.float32))
                     gathered = ops.index_points(pre32, idx)
                     h = (gathered - ct32[:, :, None, :]
-                         + bias.astype(jnp.float32)).astype(self.dtype)
+                         + bias.astype(jnp.float32)).astype(dt)
                 else:
                     gathered = ops.index_points(pre, idx)
                     h = gathered - cterm[:, :, None, :] + biasi
@@ -602,31 +619,36 @@ class PointNet2SemSeg(nn.Module):
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1,
                  deterministic: Optional[bool] = None):
         det = (not train) if deterministic is None else deterministic
+        sa_dt = _dbg_dtype("sa", self.dtype)
+        fp_dt = _dbg_dtype("fp", self.dtype)
+        hd_dt = _dbg_dtype("head", self.dtype)
         l0_xyz = points[..., :3]
         l0_f = points  # 9-dim block features
         l1_xyz, l1_f = SetAbstraction(1024, 0.1, 32, (32, 32, 64),
-                                      name="sa1", dtype=self.dtype)(l0_xyz, l0_f, train,
+                                      name="sa1",
+                                      f32_train_guard=True,
+                                      dtype=_dbg_dtype("sa1", sa_dt))(l0_xyz, l0_f, train,
                                                   bn_momentum)
         l2_xyz, l2_f = SetAbstraction(256, 0.2, 32, (64, 64, 128),
-                                      name="sa2", dtype=self.dtype)(l1_xyz, l1_f, train,
+                                      name="sa2", dtype=_dbg_dtype("sa2", sa_dt))(l1_xyz, l1_f, train,
                                                   bn_momentum)
         l3_xyz, l3_f = SetAbstraction(64, 0.4, 32, (128, 128, 256),
-                                      name="sa3", dtype=self.dtype)(l2_xyz, l2_f, train,
+                                      name="sa3", dtype=_dbg_dtype("sa3", sa_dt))(l2_xyz, l2_f, train,
                                                   bn_momentum)
         l4_xyz, l4_f = SetAbstraction(16, 0.8, 32, (256, 256, 512),
-                                      name="sa4", dtype=self.dtype)(l3_xyz, l3_f, train,
+                                      name="sa4", dtype=_dbg_dtype("sa4", sa_dt))(l3_xyz, l3_f, train,
                                                   bn_momentum)
-        l3_f = FeaturePropagation((256, 256), name="fp4", dtype=self.dtype)(
+        l3_f = FeaturePropagation((256, 256), name="fp4", dtype=fp_dt)(
             l3_xyz, l4_xyz, l3_f, l4_f, train, bn_momentum)
-        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=self.dtype)(
+        l2_f = FeaturePropagation((256, 256), name="fp3", dtype=fp_dt)(
             l2_xyz, l3_xyz, l2_f, l3_f, train, bn_momentum)
-        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=self.dtype)(
+        l1_f = FeaturePropagation((256, 128), name="fp2", dtype=fp_dt)(
             l1_xyz, l2_xyz, l1_f, l2_f, train, bn_momentum)
-        l0_f = FeaturePropagation((128, 128, 128), name="fp1", dtype=self.dtype)(
+        l0_f = FeaturePropagation((128, 128, 128), name="fp1", dtype=fp_dt)(
             l0_xyz, l1_xyz, None, l1_f, train, bn_momentum)
-        h = SharedMLP([128], name="head_mlp", dtype=self.dtype)(l0_f, train, bn_momentum)
+        h = SharedMLP([128], name="head_mlp", dtype=hd_dt)(l0_f, train, bn_momentum)
         h = nn.Dropout(0.5, deterministic=det, name="drop")(h)
-        h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)
+        h = nn.Dense(self.num_class, name="head_out", dtype=hd_dt)(h)
         return log_softmax_head(h.astype(jnp.float32)), {"trans_feat": None}
 
 
@@ -644,7 +666,8 @@ class PointNet2SemSegMSG(nn.Module):
         l0_f = points
         l1_xyz, l1_f = SetAbstractionMsg(
             1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64)),
-            name="sa1", dtype=self.dtype)(l0_xyz, l0_f, train, bn_momentum)
+            name="sa1", f32_train_guard=True,
+            dtype=self.dtype)(l0_xyz, l0_f, train, bn_momentum)
         l2_xyz, l2_f = SetAbstractionMsg(
             256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128)),
             name="sa2", dtype=self.dtype)(l1_xyz, l1_f, train, bn_momentum)
