@@ -71,6 +71,34 @@ def main():
             print(f"N={N} S={S} K={K}: FAILED {type(e).__name__}: "
                   f"{str(e)[:140]}", flush=True)
             bad.append((N, S, K))
+    # fused FP-tail kernel at every (N_dense, M_sparse, C1) the
+    # registered FP blocks use (semseg/partseg/fusion; fp1-fp4)
+    FP_SHAPES = [(4096, 1024, 128), (2048, 512, 128), (1024, 256, 256),
+                 (256, 64, 256), (1024, 512, 128), (512, 128, 256),
+                 (256, 16, 256), (2048, 512, 256), (128, 32, 256)]
+    for (N, M, C1) in FP_SHAPES:
+        x1 = jnp.asarray(r.randn(2, N, 3).astype(np.float32))
+        x2 = x1[:, :M]
+        pre = jnp.asarray(r.randn(2, M, C1).astype(np.float32))
+        skip = jnp.asarray(r.randn(2, N, C1).astype(np.float32))
+        try:
+            def comp(p):
+                d, i3 = pk.three_nn_pallas(x1, x2)
+                wgt = G.interpolation_weights(d)
+                import mm3d_tpu.ops as O
+                return jax.nn.relu(O.three_interpolate(p, i3, wgt) + skip)
+            want = np.asarray(jax.jit(comp)(pre))
+            got = np.asarray(jax.jit(
+                lambda p: pk.fused_fp_pallas(x1, x2, p, skip))(pre))
+            ok = bool(np.allclose(got, want, rtol=1e-5, atol=1e-4))
+            print(f"FP N={N} M={M} C1={C1}: fused_fp_match={ok}",
+                  flush=True)
+            if not ok:
+                bad.append(("fp", N, M, C1))
+        except Exception as e:  # noqa: BLE001
+            print(f"FP N={N} M={M} C1={C1}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+            bad.append(("fp", N, M, C1))
     print("BAD:", bad if bad else "none — all shapes pass")
     sys.exit(1 if bad else 0)
 

@@ -175,3 +175,35 @@ def test_bf16_dtype_plumbing(name):
             rngs={"dropout": jax.random.PRNGKey(2)}))(variables)
     assert logp.dtype == jnp.float32
     assert np.isfinite(np.asarray(logp)).all()
+
+
+def test_f32_train_guard_semantics():
+    """f32_train_guard: bf16 TRAIN compute must equal the f32 module's
+    train output exactly (block computes in f32), while EVAL keeps the
+    bf16 path (guard is train-only — serving stays fused/bf16)."""
+    from mm3d_tpu.models.pointnet2 import SetAbstraction
+    r = np.random.RandomState(0)
+    xyz = jnp.asarray(r.randn(2, 64, 3).astype(np.float32) * 0.5)
+    feats = jnp.asarray(r.randn(2, 64, 6).astype(np.float32) * 3.0)
+    kw = dict(npoint=16, radius=0.4, nsample=8, mlp=(16, 16, 32))
+    m_f32 = SetAbstraction(**kw, name="sa")
+    m_bf = SetAbstraction(**kw, name="sa", dtype=jnp.bfloat16)
+    m_gd = SetAbstraction(**kw, name="sa", dtype=jnp.bfloat16,
+                          f32_train_guard=True)
+    rngs = {"params": jax.random.PRNGKey(0)}
+    v = m_f32.init(rngs, xyz, feats, train=True)
+
+    def tr(m):
+        (new, out), _ = m.apply(v, xyz, feats, train=True,
+                                mutable=["batch_stats"])
+        return np.asarray(out, np.float32)
+
+    o_f32, o_bf, o_gd = tr(m_f32), tr(m_bf), tr(m_gd)
+    np.testing.assert_array_equal(o_gd, o_f32)   # guard == f32 in train
+    assert np.abs(o_bf - o_f32).max() > 0        # bf16 path is distinct
+
+    def ev(m):
+        out = m.apply(v, xyz, feats, train=False)[1]
+        return np.asarray(out, np.float32)
+
+    np.testing.assert_array_equal(ev(m_gd), ev(m_bf))  # eval unguarded
