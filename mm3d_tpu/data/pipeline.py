@@ -77,11 +77,19 @@ class DataPipeline:
             idx = np.concatenate([idx, idx[: total - n]])  # wrap-pad
         return idx[:total]
 
-    def epoch(self, epoch: int = 0) -> Iterator[Any]:
-        """Iterate one epoch of batches with background prefetch."""
+    def epoch(self, epoch: int = 0,
+              max_steps: Optional[int] = None) -> Iterator[Any]:
+        """Iterate one epoch of batches with background prefetch.
+
+        max_steps bounds the epoch (e.g. the Trainer's BN-refresh
+        passes): the worker thread sees the same bound, so a consumer
+        that stops there never leaves the worker blocked on a full
+        prefetch queue (thread + device-batch leak otherwise)."""
         n = len(self.dataset)
         idx = self._epoch_indices(epoch)
         nsteps = len(idx) // self.batch_size
+        if max_steps is not None:
+            nsteps = min(nsteps, max_steps)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 

@@ -274,10 +274,10 @@ class Trainer:
         if self.bn_refresh_step is not None:
             key = jax.random.PRNGKey(self.cfg.seed + 17)
             # large fixed epoch index: distinct shuffle stream, and
-            # numpy seeding requires a non-negative value
-            for i, batch in enumerate(self.train_pipe.epoch(1 << 20)):
-                if i >= self._bn_refresh_n:
-                    break
+            # numpy seeding requires a non-negative value.  max_steps
+            # bounds the producer too (no abandoned prefetch thread).
+            for i, batch in enumerate(self.train_pipe.epoch(
+                    1 << 20, max_steps=self._bn_refresh_n)):
                 bs = self.bn_refresh_step(self.state, batch,
                                           jax.random.fold_in(key, i))
                 self.state = self.state.replace(batch_stats=bs)
