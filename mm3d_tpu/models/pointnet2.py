@@ -413,6 +413,26 @@ class FeaturePropagation(nn.Module):
         k_skip, k_interp = k2[:-c2], k2[-c2:]
         pre = feats2 @ k_interp  # [B,M,C1] — on the sparse set
         bn = BatchNorm(name="proj_bn", dtype=self.dtype)
+        # point-sharding context: the dense axis of a big cloud stays
+        # sharded through the FP tail (each row's 3-NN/interp is
+        # independent of the others — see parallel.sharded_group
+        # .sharded_fp); eval only, same folded form as the fused kernel
+        from mm3d_tpu.parallel.point_shard import current as _ps_current
+        ps = _ps_current()
+        if (ps is not None and not train and M > 1
+                and N >= ps.min_points
+                and N % ps.mesh.shape[ps.axis] == 0):
+            from mm3d_tpu.parallel.sharded_group import sharded_fp
+            A, C = bn(pre, use_running_average=True, fold=True)
+            skip_t = jnp.broadcast_to(bias.astype(pre.dtype), (B, N, c1))
+            if feats1 is not None:
+                skip_t = feats1.astype(pre.dtype) @ k_skip + skip_t
+            h = sharded_fp(xyz1, xyz2, pre * A, skip_t * A + C,
+                           ps.mesh, ps.axis)
+            if len(self.mlp) > 1:
+                h = SharedMLP(self.mlp[1:], name="mlp_rest",
+                              dtype=self.dtype)(h, train, bn_momentum)
+            return h
         fused = (dispatch.kernel_or_none("fused_fp")
                  if _want_fused_fp(train, self.dtype) and M > 1 else None)
         if fused is not None:

@@ -182,3 +182,42 @@ def sharded_sa_group_max(radius: float, nsample: int, xyz: jax.Array,
         out_specs=P(),
     )
     return fn(xyz, pre, new_xyz, cbias)
+
+
+def sharded_fp(xyz1: jax.Array, xyz2: jax.Array, pre: jax.Array,
+               skip: jax.Array, mesh: Mesh,
+               axis: str = "data") -> jax.Array:
+    """Eval-mode FP tail on a point-sharded dense cloud -> [B, N, C1].
+
+    Same math as ops.pallas_kernels.fused_fp_pallas (BN pre-folded):
+    relu(three_interpolate(pre, 3nn(xyz1 -> xyz2)) + skip).  Each dense
+    row's 3-NN/interpolation depends only on that row and the (small,
+    replicated) sparse set, so the stage is embarrassingly parallel
+    over the dense axis: `xyz1`/`skip` are sharded on the point axis,
+    `xyz2`/`pre` replicated; compute and HBM stay local and one
+    all_gather of the [B, N/n, C1] tile outputs merges shards.
+    Bitwise-identical to the single-device composition (same
+    HIGHEST-precision distance formula, per-row top_k).
+    """
+    from mm3d_tpu.ops import geometry as G
+
+    B, N, _ = xyz1.shape
+    n_shards = mesh.shape[axis]
+    assert N % n_shards == 0, (N, n_shards)
+
+    def local(x1_t, sk_t, x2_full, pre_full):
+        d, idx = G._three_nn_jax(x1_t, x2_full)
+        w = G.interpolation_weights(d)
+        interp = G._three_interpolate_jax(
+            pre_full, idx, w.astype(pre_full.dtype))
+        return jax.nn.relu(interp + sk_t)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None),
+                  P(None, None, None), P(None, None, None)),
+        # output stays sharded on the point axis; XLA reshards lazily
+        # wherever a replicated consumer needs it
+        out_specs=P(None, axis, None),
+    )
+    return fn(xyz1, skip, xyz2, pre)

@@ -94,3 +94,21 @@ def test_sharded_sa_tail_zero_hit_row():
     got = np.asarray(sharded_sa_group_max(
         0.3, 8, xyz, new_xyz, pre, cb, w1, b1, w2, b2, mesh=mesh))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_fp_matches_single_device():
+    mesh = make_mesh(jax.devices()[:8], data_parallel=8)
+    from mm3d_tpu.parallel.sharded_group import sharded_fp
+    from mm3d_tpu.ops import geometry as G
+    rng = np.random.RandomState(5)
+    B, N, M, C1 = 2, 512, 64, 32
+    xyz1 = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    xyz2 = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    pre = jnp.asarray(rng.randn(B, M, C1).astype(np.float32))
+    skip = jnp.asarray(rng.randn(B, N, C1).astype(np.float32))
+    d, idx = G._three_nn_jax(xyz1, xyz2)
+    w = G.interpolation_weights(d)
+    want = np.asarray(jax.nn.relu(
+        G._three_interpolate_jax(pre, idx, w) + skip))
+    got = np.asarray(sharded_fp(xyz1, xyz2, pre, skip, mesh))
+    np.testing.assert_array_equal(got, want)
