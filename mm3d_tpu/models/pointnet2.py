@@ -51,13 +51,14 @@ def _want_fused_sa(train: bool, mlp, dtype) -> bool:
     return dispatch.get_impl() == "pallas"
 
 
-def _want_fused_fp(train: bool, dtype) -> bool:
+def _want_fused_fp(train: bool) -> bool:
     """Take the fused FP-tail Pallas kernel (eval only)?
 
     Raced on v5e at the semseg/partseg FP shapes (scripts/
     proto_fp_fused.py, r3): bf16 2.9-14x and fp32 1.8-6.4x the op
     composition, parity 0 / 2.2e-7 rel — so eval takes it in EVERY
-    serving dtype (dispatch still confines it to TPU-auto or explicit
+    serving dtype, unlike _want_fused_sa whose fp32-auto path stays
+    unfused (dispatch still confines it to TPU-auto or explicit
     'pallas'; the training path keeps the composition, whose
     scatter-add backward already routes through the Pallas gather
     backward).
@@ -419,32 +420,27 @@ class FeaturePropagation(nn.Module):
         # .sharded_fp); eval only, same folded form as the fused kernel
         from mm3d_tpu.parallel.point_shard import current as _ps_current
         ps = _ps_current()
-        if (ps is not None and not train and M > 1
-                and N >= ps.min_points
-                and N % ps.mesh.shape[ps.axis] == 0):
-            from mm3d_tpu.parallel.sharded_group import sharded_fp
-            A, C = bn(pre, use_running_average=True, fold=True)
-            skip_t = jnp.broadcast_to(bias.astype(pre.dtype), (B, N, c1))
-            if feats1 is not None:
-                skip_t = feats1.astype(pre.dtype) @ k_skip + skip_t
-            h = sharded_fp(xyz1, xyz2, pre * A, skip_t * A + C,
-                           ps.mesh, ps.axis)
-            if len(self.mlp) > 1:
-                h = SharedMLP(self.mlp[1:], name="mlp_rest",
-                              dtype=self.dtype)(h, train, bn_momentum)
-            return h
+        use_ps = (ps is not None and not train and M > 1
+                  and N >= ps.min_points
+                  and N % ps.mesh.shape[ps.axis] == 0)
         fused = (dispatch.kernel_or_none("fused_fp")
-                 if _want_fused_fp(train, self.dtype) and M > 1 else None)
-        if fused is not None:
+                 if _want_fused_fp(train) and M > 1 else None)
+        if use_ps or fused is not None:
             # eval path: three_nn + inverse-distance interp + skip +
-            # folded-BN relu as ONE Pallas kernel — BN's per-channel
-            # scale commutes with the linear interpolation, so the
-            # kernel sees pre*A and the folded dense-side term
+            # folded-BN relu as ONE fused stage (Pallas kernel, or the
+            # point-sharded SPMD twin of the same folded form) — BN's
+            # per-channel scale commutes with the linear interpolation,
+            # so the stage sees pre*A and the folded dense-side term
             A, C = bn(pre, use_running_average=True, fold=True)
             skip_t = jnp.broadcast_to(bias.astype(pre.dtype), (B, N, c1))
             if feats1 is not None:
                 skip_t = feats1.astype(pre.dtype) @ k_skip + skip_t
-            h = fused(xyz1, xyz2, pre * A, skip_t * A + C)
+            if use_ps:
+                from mm3d_tpu.parallel.sharded_group import sharded_fp
+                h = sharded_fp(xyz1, xyz2, pre * A, skip_t * A + C,
+                               ps.mesh, ps.axis)
+            else:
+                h = fused(xyz1, xyz2, pre * A, skip_t * A + C)
         else:
             if M == 1:
                 h = jnp.broadcast_to(pre, (B, N, c1))

@@ -188,7 +188,11 @@ class Trainer:
             class_weights=cw)
         self._bn_refresh_n = cfg.bn_refresh_steps
         if self._bn_refresh_n is None:
-            self._bn_refresh_n = 8 if cfg.dtype == "bfloat16" else 0
+            # gate on the EFFECTIVE dtype: a family whose builder
+            # rejected the dtype kwarg trains fp32 and must keep exact
+            # lineage eval behavior (no stat rewrites)
+            effective_bf16 = kwargs.get("dtype", None) == jnp.bfloat16
+            self._bn_refresh_n = 8 if effective_bf16 else 0
         self.bn_refresh_step = (steps.make_bn_refresh_step(
             self.model, self.task, augment_names=tuple(augs),
             num_category=cfg.num_category)

@@ -112,3 +112,18 @@ def test_msg_module_fused_path_matches_jax():
         _, g2 = msg.apply(v, xyz, feats, train=False)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_tri_path_np1024():
+    """Np=1024 routes to the MXU triangular rank matmul and the v6
+    kernel (the serving default at SA1); the other suite shapes are
+    all < 1024 and route to v4, so without this the default serving
+    kernel would never execute in the suite."""
+    args = _mk(7, 1, 1024, 32, 16, 16, 32)
+    rad, K = 0.25, 16
+    want = np.asarray(_ref(rad, K, *args))
+    got_def = np.asarray(pk.fused_sa_pallas(rad, K, *args, interpret=True))
+    got_v2 = np.asarray(pk.fused_sa_pallas(rad, K, *args, interpret=True,
+                                           version=2))
+    np.testing.assert_allclose(got_def, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got_def, got_v2)  # v6 ≡ v2 bitwise
