@@ -93,7 +93,6 @@ def _fps_kernel_v2(npoint: int, n_actual: int, nsplit: int, x_ref, y_ref,
     npad = out_ref.shape[1]
     sub = Bt // nsplit
     lane = jax.lax.broadcasted_iota(jnp.int32, (sub, N), 1)
-    valid = lane < n_actual
     out_col = jax.lax.broadcasted_iota(jnp.int32, (Bt, npad), 1)
     out_ref[:] = jnp.zeros((Bt, npad), jnp.int32)
     mind_ref[:] = jnp.where(
@@ -625,106 +624,6 @@ def _fused_sa_kernel(radius2: float, nsample: int, n_actual: int,
     out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
 
 
-def _fused_sa_kernel_v3(radius2: float, nsample: int, n_actual: int,
-                        use_tri: bool, new_ref, xyzt_ref, *rest_refs):
-    """v3 of the fused SA tail — same math as `_fused_sa_kernel`, with
-    the one-hot construction restructured to cut the VPU floor (the
-    dominant cost in the v2 kernel, BASELINE.md roofline):
-
-    * k-major row order (r = k*St + s) so the [St,N] -> [St*K,N]
-      expansion is `pltpu.repeat` — K contiguous block copies instead of
-      a sublane-interleaved broadcast;
-    * ranks stay bf16 end-to-end (no int32 materialization).  Exactness
-      argument: integer ranks <= 256 are exact in bf16 and ranks > 256
-      round to even integers >= 256, while the compared k+1 <= 128 — so
-      `rank == k+1` can never produce a false positive/negative;
-    * the zero-hit clamp moves AFTER the gather (one select over
-      [R,C1] against the literal pre[0] row) instead of an extra
-      or-pass over [R,N];
-    * max over K as K static sublane slices (no [St,K,C] reshape).
-    """
-    if use_tri:
-        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         out_ref) = rest_refs
-    else:
-        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         out_ref) = rest_refs
-    St = new_ref.shape[0]
-    _, N = xyzt_ref.shape
-    K = nsample
-    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
-
-    a = new_ref[:]
-    b = xyzt_ref[:]
-    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)
-    b2 = jnp.sum(b * b, axis=0, keepdims=True)
-    d2 = a2 - 2.0 * cross + b2
-
-    in_ball = (d2 <= radius2) & (lane < n_actual)
-    if use_tri:
-        # integer-valued f32 ranks straight off the MXU (sums <= N are
-        # exact in f32) — no int32 round trip
-        rank_f = jnp.dot(in_ball.astype(jnp.bfloat16), tri_ref[:],
-                         preferred_element_type=jnp.float32)
-    else:
-        rank_f = _prefix_count(in_ball.astype(jnp.int32), lane).astype(
-            jnp.float32)
-    rank_m = jnp.where(in_ball, rank_f, 0.0).astype(jnp.bfloat16)
-    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
-
-    R = St * K
-    rank_rep = pltpu.repeat(rank_m, K, axis=0)          # [R, N] bf16
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    if St & (St - 1) == 0:
-        kv = row >> (St.bit_length() - 1)
-    else:
-        kv = row // St
-    kv1 = (kv + 1).astype(jnp.bfloat16)
-    # arithmetic one-hot (Mosaic v5e has no bf16 vector compare): for
-    # integer-valued bf16 operands max(1-|a-b|, 0) is exactly the 0/1
-    # equality indicator — |diff| is 0 or >= 1, and 1-0 / 1-1 are exact
-    oh = jnp.maximum(1.0 - jnp.abs(rank_rep - kv1), 0.0)
-    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] i32
-
-    pre = pre_ref[:]        # [N, C1p], BN pre-folded
-    dt = pre.dtype
-    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
-            jax.lax.Precision.DEFAULT)
-    ohb = oh
-    if dt == jnp.float32:
-        # 3-term bf16 split — see _fused_sa_kernel
-        hi = pre.astype(jnp.bfloat16)
-        r1 = pre - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
-             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
-             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
-    else:
-        g = jnp.dot(ohb, pre, preferred_element_type=jnp.float32)
-    # zero-hit centroids read index 0 (lineage padding semantics); only
-    # their k=0 slot survives the live mask below
-    g = jnp.where((cnt_rep == 0) & (kv == 0),
-                  pre_ref[0:1, :].astype(jnp.float32), g)
-    cb_rep = pltpu.repeat(cbias_ref[:], K, axis=0)      # [R, C1p]
-    h = jnp.maximum(g.astype(dt) + cb_rep, 0.0)
-    h = jnp.dot(h, w1_ref[:], precision=prec,
-                preferred_element_type=jnp.float32)
-    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
-    h = jnp.dot(h, w2_ref[:], precision=prec,
-                preferred_element_type=jnp.float32)
-    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
-
-    live = kv < jnp.maximum(cnt_rep, 1)
-    h = jnp.where(live, h, jnp.full_like(h, -jnp.inf))
-    acc = h[0:St]
-    for k in range(1, K):
-        acc = jnp.maximum(acc, h[k * St:(k + 1) * St])
-    out_ref[:] = acc
-
-
 def _fused_sa_kernel_v4(radius2: float, nsample: int, n_actual: int,
                         use_tri: bool, P: int, C1: int, new_ref, xyzt_ref,
                         *rest_refs):
@@ -966,6 +865,11 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     Np = _round_up(N, 128)
     if version is None:
         version = 6 if Np == 1024 else 4
+    if version == 4 and nsample > 128:
+        # v4's bf16 arithmetic one-hot is exact only for slot ranks
+        # <= 128 (bf16 integers are exact to 256 and the compared
+        # clamped rank must stay below that); v2/v6 compare in int32
+        version = 6 if Np == 1024 else 2
     Sp = _round_up(S, 8)
     C1p, C2p, C3p = (_round_up(c, 128) for c in (C1, C2, C3))
 
@@ -1028,7 +932,7 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
             # same tiling as v2 (measured: smaller tiles cost more in
             # grid overhead than the naive VMEM accounting saves)
             ohsz = dsz * Np
-        elif version >= 3:
+        elif version == 4:
             ohsz = 2 * (Np // P)
         else:
             ohsz = dsz * Np

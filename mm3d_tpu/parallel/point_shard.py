@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import threading
 from typing import Optional
 
 from jax.sharding import Mesh
@@ -37,18 +38,28 @@ class PointShardCtx:
     min_points: int = 2048
 
 
-_ACTIVE: list = []
+# per-thread stack: trace-time state must not leak across concurrently
+# tracing threads (same pattern as ops.dispatch's mode)
+_TLS = threading.local()
+
+
+def _stack() -> list:
+    if not hasattr(_TLS, "stack"):
+        _TLS.stack = []
+    return _TLS.stack
 
 
 @contextlib.contextmanager
 def point_shard(mesh: Mesh, axis: str = "data", min_points: int = 2048):
     """Enable point-axis sharding for SA blocks traced inside."""
-    _ACTIVE.append(PointShardCtx(mesh, axis, min_points))
+    s = _stack()
+    s.append(PointShardCtx(mesh, axis, min_points))
     try:
-        yield _ACTIVE[-1]
+        yield s[-1]
     finally:
-        _ACTIVE.pop()
+        s.pop()
 
 
 def current() -> Optional[PointShardCtx]:
-    return _ACTIVE[-1] if _ACTIVE else None
+    s = _stack()
+    return s[-1] if s else None

@@ -99,8 +99,11 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
     votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
     pad = (-nblocks) % batch_size
     if pad:
-        feats = np.concatenate([feats, feats[:pad]], 0)
-        pidx = np.concatenate([pidx, pidx[:pad]], 0)
+        # wrap-around padding: pad can exceed nblocks for tiny rooms
+        # (feats[:pad] would under-pad and break the live-mask shapes)
+        rep = np.resize(np.arange(nblocks), pad)
+        feats = np.concatenate([feats, feats[rep]], 0)
+        pidx = np.concatenate([pidx, pidx[rep]], 0)
     for s in range(0, nblocks + pad, batch_size):
         chunk = jnp.asarray(feats[s:s + batch_size])
         logp = predict_fn(chunk)
@@ -176,12 +179,14 @@ def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
     votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
     pad = (-nblocks) % batch_size
     if pad:
-        feats = np.concatenate([feats, feats[:pad]], 0)
-        pidx = np.concatenate([pidx, pidx[:pad]], 0)
-        imgs = np.concatenate([imgs, imgs[:pad]], 0)
-        Kin = np.concatenate([Kin, Kin[:pad]], 0)
-        Rm = np.concatenate([Rm, Rm[:pad]], 0)
-        tm = np.concatenate([tm, tm[:pad]], 0)
+        # wrap-around padding (see evaluate_scene)
+        rep = np.resize(np.arange(nblocks), pad)
+        feats = np.concatenate([feats, feats[rep]], 0)
+        pidx = np.concatenate([pidx, pidx[rep]], 0)
+        imgs = np.concatenate([imgs, imgs[rep]], 0)
+        Kin = np.concatenate([Kin, Kin[rep]], 0)
+        Rm = np.concatenate([Rm, Rm[rep]], 0)
+        tm = np.concatenate([tm, tm[rep]], 0)
     for s in range(0, nblocks + pad, batch_size):
         sl = slice(s, s + batch_size)
         logp = predict_fn(jnp.asarray(feats[sl]), jnp.asarray(imgs[sl]),

@@ -52,7 +52,6 @@ def time_train_steps(step, state0, batch, lr, bn, key, m1=3, m2=13,
 def train_step_numbers():
     """fp32 + bf16 mixed-precision train-step timings (the two headline
     training rows) as a dict — the --json artifact (VERDICT r2 item 5)."""
-    import json
     r = np.random.RandomState(0)
     xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32))
     labels = jnp.asarray(r.randint(0, 40, (B,)).astype(np.int32))

@@ -74,8 +74,11 @@ def main(argv=None):
         mesh = parallel.make_mesh(jax.devices(),
                                   data_parallel=len(jax.devices()))
         shard_ctx = parallel.point_shard(mesh, min_points=a.point_shard)
-    with shard_ctx:
-        result = trainer.evaluate()
+    # the context must stay open through the vote passes below: their
+    # jitted steps trace lazily on first call, and closing it early
+    # would silently re-trace big-N vote evals unsharded
+    shard_ctx.__enter__()
+    result = trainer.evaluate()
     # Vote ensembling (the lineage's test-time protocol) for every task
     # family: cls rotated votes, partseg shuffle votes, fusion_cls rotated
     # votes with extrinsics compensation, fusion_semseg shuffle votes.
@@ -138,6 +141,7 @@ def main(argv=None):
             cm = c if cm is None else cm + c
         _, miou = M.iou_from_confusion(cm)
         result["vote_miou"] = float(miou)
+    shard_ctx.__exit__(None, None, None)
     trainer.log.info("eval: %s", result)
     print(result)
     return result

@@ -127,3 +127,48 @@ def test_fused_sa_tri_path_np1024():
                                            version=2))
     np.testing.assert_allclose(got_def, want, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(got_def, got_v2)  # v6 ≡ v2 bitwise
+
+
+def test_fused_sa_v4_block_packed_path():
+    """N=512 / C1=32 activates v4's P=4 block packing (the semseg SA1
+    serving default) — packed RHS layout, bstar block selection and the
+    packed zero-hit clamp get no coverage from the other shapes (all
+    resolve to P=1)."""
+    r = np.random.RandomState(9)
+    B, N, S, K, rad = 1, 512, 24, 16, 0.3
+    C1, C2, C3 = 32, 16, 32
+    xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32) * 0.5)
+    fidx = G.farthest_point_sample(xyz, S)
+    new_xyz = G.index_points(xyz, fidx)
+    new_xyz = new_xyz.at[:, 3].set(50.0)  # force a zero-hit centroid
+    pre = jnp.asarray(r.randn(B, N, C1).astype(np.float32))
+    cbias = jnp.asarray(r.randn(B, S, C1).astype(np.float32))
+    w1 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(r.randn(C2).astype(np.float32))
+    w2 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(r.randn(C3).astype(np.float32))
+    args = (xyz, new_xyz, pre, cbias, w1, b1, w2, b2)
+    want = np.asarray(_ref(rad, K, *args))
+    got4 = np.asarray(pk.fused_sa_pallas(rad, K, *args, interpret=True,
+                                         version=4))
+    np.testing.assert_allclose(got4, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_large_nsample_routes_exact():
+    """nsample > 128 must not route to v4 (its bf16 arithmetic one-hot
+    is exact only for clamped slot ranks <= 128)."""
+    r = np.random.RandomState(11)
+    B, N, S, K, rad = 1, 256, 8, 192, 2.5  # dense: many ranks > 128
+    C1, C2, C3 = 16, 16, 16
+    xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32) * 0.5)
+    new_xyz = xyz[:, :S]
+    pre = jnp.asarray(r.randn(B, N, C1).astype(np.float32))
+    cbias = jnp.asarray(r.randn(B, S, C1).astype(np.float32))
+    w1 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * 0.3)
+    b1 = jnp.asarray(r.randn(C2).astype(np.float32))
+    w2 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(r.randn(C3).astype(np.float32))
+    args = (xyz, new_xyz, pre, cbias, w1, b1, w2, b2)
+    want = np.asarray(_ref(rad, K, *args))
+    got = np.asarray(pk.fused_sa_pallas(rad, K, *args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
