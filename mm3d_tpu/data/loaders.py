@@ -118,7 +118,25 @@ class ModelNetDataset:
         return sample
 
 
-class ShapeNetPartDataset:
+
+class _EpochSeeded:
+    """Deterministic but epoch-varying per-sample randomness.
+
+    The reference loaders draw a fresh subsample/crop on every access —
+    per-epoch resampling is part of the training protocol.  Datasets
+    mix the epoch (set by DataPipeline.epoch via set_epoch) into the
+    per-index seed; epoch 0 reproduces the old fixed-seed behavior.
+    """
+
+    _epoch: int = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch) % (1 << 20)
+
+    def _rng(self, index: int) -> np.random.RandomState:
+        return np.random.RandomState(index + 1000003 * self._epoch)
+
+class ShapeNetPartDataset(_EpochSeeded):
     """ShapeNetPart-format part-segmentation loader.
 
     Returns (points [npoints, 3(+3)], category int, seg [npoints] int).
@@ -156,12 +174,8 @@ class ShapeNetPartDataset:
         path, cat = self.items[index]
         data = _parse_float_table(path, 7)
         n = data.shape[0]
-        if n >= self.npoints:
-            choice = np.random.RandomState(index).choice(
-                n, self.npoints, replace=False)
-        else:
-            choice = np.random.RandomState(index).choice(
-                n, self.npoints, replace=True)
+        choice = self._rng(index).choice(
+            n, self.npoints, replace=n < self.npoints)
         data = data[choice]
         pts = data[:, : 6 if self.normals else 3].copy()
         pts[:, :3] = pc_normalize(pts[:, :3])
@@ -169,7 +183,7 @@ class ShapeNetPartDataset:
         return pts.astype(np.float32), cat, seg
 
 
-class S3DISDataset:
+class S3DISDataset(_EpochSeeded):
     """S3DIS-format semantic-segmentation loader over preprocessed
     per-room `.npy` files ([N, 7] = x y z r g b label).
 
@@ -205,7 +219,7 @@ class S3DISDataset:
         return self._cache[ridx]
 
     def __getitem__(self, index: int):
-        rng = np.random.RandomState(index)
+        rng = self._rng(index)
         data = self._room(index % len(self.rooms))
         xyz, rgb, label = data[:, :3], data[:, 3:6], data[:, 6].astype(np.int32)
         room_max = xyz.max(0)

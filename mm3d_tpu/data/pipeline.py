@@ -86,12 +86,28 @@ class DataPipeline:
         that stops there never leaves the worker blocked on a full
         prefetch queue (thread + device-batch leak otherwise)."""
         n = len(self.dataset)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # per-epoch resampling
         idx = self._epoch_indices(epoch)
         nsteps = len(idx) // self.batch_size
         if max_steps is not None:
             nsteps = min(nsteps, max_steps)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put: an abandoned consumer (exception mid-epoch,
+            # early break) sets `stop` from the generator finalizer so
+            # the worker exits instead of blocking forever on a full
+            # queue while pinning device batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
@@ -104,18 +120,22 @@ class DataPipeline:
                         batch = (batch, valid)
                     if self.to_device:
                         batch = jax.device_put(batch, self.sharding)
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(SENTINEL)
+                put(SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

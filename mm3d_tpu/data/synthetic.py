@@ -403,18 +403,18 @@ def render_depth_image(xyz, K, R, t, hw=(64, 64)):
     u = K[0, 0] * cam[:, 0] / z + K[0, 2]
     v = K[1, 1] * cam[:, 1] / z + K[1, 2]
     img = np.zeros((H, W, 3), np.float32)
-    zbuf = np.full((H, W), np.inf, np.float32)
     ui = np.round(u).astype(int); vi = np.round(v).astype(int)
     ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (cam[:, 2] > 0)
-    order = np.argsort(-z)  # far first so near overwrites
-    for i in order:
-        if not ok[i]:
-            continue
-        if z[i] < zbuf[vi[i], ui[i]]:
-            zbuf[vi[i], ui[i]] = z[i]
-            img[vi[i], ui[i], 0] = 1.0 / z[i]
-            img[vi[i], ui[i], 1] = np.tanh(z[i] - 2.0)
-            img[vi[i], ui[i], 2] = 1.0
+    # vectorized z-buffer: far-first fancy assignment, nearest point's
+    # write lands last (the per-point Python loop this replaces ran in
+    # the 1-core host's prefetch thread — ~25k iterations per fusion
+    # batch — and stalled the input pipeline)
+    zk, uk, vk = z[ok], ui[ok], vi[ok]
+    order = np.argsort(-zk)
+    uo, vo, zo = uk[order], vk[order], zk[order]
+    img[vo, uo, 0] = 1.0 / zo
+    img[vo, uo, 1] = np.tanh(zo - 2.0)
+    img[vo, uo, 2] = 1.0
     return img
 
 

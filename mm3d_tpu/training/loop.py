@@ -117,9 +117,11 @@ class Trainer:
             train_ds, test_ds = build_datasets(cfg, self.task)
         # data-parallel width must divide the batch; idle extra devices
         # rather than failing (a test nicety — production batches divide).
-        import math
         n_dev = len(jax.devices())
-        dp = math.gcd(cfg.batch_size, n_dev)
+        # largest divisor of the batch <= device count (gcd idles
+        # devices unnecessarily: batch 12 on 8 devices can use 6)
+        dp = max(d for d in range(1, min(cfg.batch_size, n_dev) + 1)
+                 if cfg.batch_size % d == 0)
         self.mesh = make_mesh(jax.devices()[:dp], data_parallel=dp)
         sh = batch_sharding(self.mesh)
         self.train_pipe = DataPipeline(train_ds, cfg.batch_size, shuffle=True,

@@ -68,16 +68,18 @@ def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
 
 
 @functools.partial(jax.jit, donate_argnums=0)
-def _accumulate_votes(votes, pidx, probs, live):
+def _accumulate_votes(votes, pidx, log_probs, live):
     """Scatter-add one batch of block probabilities into the room-sized
     vote buffer, entirely on device (VERDICT r1 weak-5: the host
     `np.add.at` loop serializes at real room scale ~1M pts x 13 cls).
+    The exp lives in here too — an eager per-batch exp through the
+    remote tunnel costs 10-50x its jitted price (CLAUDE.md).
 
     votes [Nroom, C] (donated), pidx [B, npoints] int32,
-    probs [B, npoints, C], live [B] 0/1 mask for padding blocks.
+    log_probs [B, npoints, C], live [B] 0/1 mask for padding blocks.
     """
     C = votes.shape[-1]
-    contrib = probs * live[:, None, None]
+    contrib = jnp.exp(log_probs) * live[:, None, None]
     return votes.at[pidx.reshape(-1)].add(contrib.reshape(-1, C))
 
 
@@ -110,7 +112,7 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
         live = jnp.asarray(
             (s + np.arange(batch_size) < nblocks).astype(np.float32))
         votes = _accumulate_votes(votes, jnp.asarray(pidx[s:s + batch_size]),
-                                  jnp.exp(logp), live)
+                                  logp, live)
     votes = np.asarray(votes)  # single D2H fetch of the whole room
     return _finish(votes, labels, num_classes)
 
@@ -194,6 +196,5 @@ def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
                           jnp.asarray(tm[sl]))
         live = jnp.asarray(
             (s + np.arange(batch_size) < nblocks).astype(np.float32))
-        votes = _accumulate_votes(votes, jnp.asarray(pidx[sl]),
-                                  jnp.exp(logp), live)
+        votes = _accumulate_votes(votes, jnp.asarray(pidx[sl]), logp, live)
     return _finish(np.asarray(votes), labels, num_classes)

@@ -306,7 +306,11 @@ def make_vote_eval_step(model, num_votes: int = 3) -> Callable:
 
         def one_vote(i, acc):
             k = jax.random.fold_in(key, i)
-            rotated = aug.rotate_point_cloud(k, points)
+            # rotate normals with the xyz when the model carries them
+            # (channels 3:6) — stale normals would feed geometrically
+            # inconsistent votes
+            rotated = aug.rotate_point_cloud(k, points,
+                                             rotate_normals=True)
             log_probs, _ = model.apply(variables, rotated, train=False)
             return acc + jnp.exp(log_probs)
 

@@ -58,21 +58,30 @@ def _load():
 
 
 def _render_numpy(pts, colors, h, w, focal, radius, bg):
+    """Vectorized ball-splat fallback (same contract as the native
+    renderer: each point covers a disc of `radius` pixels, nearest
+    point wins per pixel)."""
     img = np.full((h, w, 3), bg, np.float32)
-    zbuf = np.full((h, w), np.inf, np.float32)
     z = pts[:, 2]
     ok = z > 1e-6
-    u = np.where(ok, focal * pts[:, 0] / np.maximum(z, 1e-6) + w / 2, -1)
-    v = np.where(ok, focal * pts[:, 1] / np.maximum(z, 1e-6) + h / 2, -1)
-    order = np.argsort(-z)
-    ui = np.round(u).astype(int)
-    vi = np.round(v).astype(int)
-    for i in order:
-        if not ok[i] or not (0 <= ui[i] < w and 0 <= vi[i] < h):
-            continue
-        if z[i] < zbuf[vi[i], ui[i]]:
-            zbuf[vi[i], ui[i]] = z[i]
-            img[vi[i], ui[i]] = colors[i]
+    u = focal * pts[:, 0] / np.maximum(z, 1e-6) + w / 2
+    v = focal * pts[:, 1] / np.maximum(z, 1e-6) + h / 2
+    ui = np.round(u[ok]).astype(int)
+    vi = np.round(v[ok]).astype(int)
+    zk = z[ok]
+    ck = colors[ok]
+    r = max(int(round(radius)), 0)
+    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+    disc = (dy ** 2 + dx ** 2) <= r * r
+    dy, dx = dy[disc], dx[disc]
+    # splat every disc offset, far-first so the nearest write lands last
+    vv = (vi[:, None] + dy[None, :]).reshape(-1)
+    uu = (ui[:, None] + dx[None, :]).reshape(-1)
+    zz = np.repeat(zk, len(dy))
+    cc = np.repeat(ck, len(dy), axis=0)
+    inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
+    order = np.argsort(-zz[inb])
+    img[vv[inb][order], uu[inb][order]] = cc[inb][order]
     return img
 
 
