@@ -73,12 +73,15 @@ class AttentionFusion(nn.Module):
     """Learned softmax gate over modalities projected to a common width."""
 
     features: int = 256
+    dtype: object = None  # matches the surrounding trunks' compute dtype
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array]):
-        projected = [nn.Dense(self.features, name=f"proj_{i}")(f)
+        projected = [nn.Dense(self.features, name=f"proj_{i}",
+                              dtype=self.dtype)(f)
                      for i, f in enumerate(feats)]
-        scores = [nn.Dense(1, name=f"score_{i}")(jnp.tanh(p))
+        scores = [nn.Dense(1, name=f"score_{i}",
+                           dtype=self.dtype)(jnp.tanh(p))
                   for i, p in enumerate(projected)]
         alpha = jax.nn.softmax(jnp.concatenate(scores, axis=-1), axis=-1)
         stacked = jnp.stack(projected, axis=-1)  # [..., F, M]
@@ -106,7 +109,7 @@ class FusionCls(nn.Module):
             image.astype(self.dtype or image.dtype), train, bn_momentum)
         aux = {"trans_feat": None}
         if self.fusion == "attention":
-            fused, alpha = AttentionFusion(256, name="fuse")([pf, imgf])
+            fused, alpha = AttentionFusion(256, name="fuse", dtype=self.dtype)([pf, imgf])
             aux["fusion_alpha"] = alpha
         else:
             fused = jnp.concatenate([pf, imgf], axis=-1)
@@ -145,14 +148,16 @@ class FusionSemSeg(nn.Module):
         xyz = points[..., :3]
         pf = PointTrunkDense(name="point_trunk", dtype=self.dtype)(
             xyz, points, train, bn_momentum)  # [B,N,128]
-        fmap, _ = ImageEncoder(name="image_trunk", dtype=self.dtype)(
+        fmap, _ = ImageEncoder(name="image_trunk", include_global=False,
+                               dtype=self.dtype)(
             image.astype(self.dtype or image.dtype), train, bn_momentum)
         H, W = image.shape[1], image.shape[2]
         pixf, valid = proj.sample_image_features(
             fmap, xyz, K, R, t, (H, W), stride=self.image_stride)
         aux = {"trans_feat": None, "proj_valid": valid}
         if self.fusion == "attention":
-            fused, alpha = AttentionFusion(128, name="fuse")([pf, pixf])
+            fused, alpha = AttentionFusion(
+                128, name="fuse", dtype=self.dtype)([pf, pixf])
             aux["fusion_alpha"] = alpha
         else:
             fused = jnp.concatenate([pf, pixf], axis=-1)

@@ -52,6 +52,10 @@ class ImageEncoder(nn.Module):
     stage_features: Sequence[int] = (32, 64, 128)
     blocks_per_stage: int = 2
     global_features: int = 512
+    # the per-point fusion models consume only the feature map; skip
+    # the global head there so its 128x512 Dense isn't trained,
+    # checkpointed and weight-transferred dead
+    include_global: bool = True
     dtype: object = None
 
     @nn.compact
@@ -61,7 +65,6 @@ class ImageEncoder(nn.Module):
         x = BatchNorm(name="stem_bn", dtype=self.dtype)(x, use_running_average=not train,
                                       momentum=bn_momentum)
         x = nn.relu(x)
-        fmap = None
         for s, feats in enumerate(self.stage_features):
             stride = 1 if s == 0 else 2
             x = BasicBlock(feats, stride, name=f"s{s}b0",
@@ -69,8 +72,9 @@ class ImageEncoder(nn.Module):
             for b in range(1, self.blocks_per_stage):
                 x = BasicBlock(feats, 1, name=f"s{s}b{b}",
                                dtype=self.dtype)(x, train, bn_momentum)
-            if s == len(self.stage_features) - 1:
-                fmap = x  # stride 4 wrt input (two stride-2 stages)
+        fmap = x  # stride 4 wrt input (two stride-2 stages)
+        if not self.include_global:
+            return fmap, None
         gap = jnp.mean(fmap, axis=(1, 2))
         glob = nn.Dense(self.global_features, name="fc_glob",
                         dtype=self.dtype)(gap)

@@ -64,6 +64,21 @@ class STN(nn.Module):
         return mat
 
 
+
+def _stn_align(x, trans, dtype):
+    """Apply the 3x3 STN to the xyz channels in f32 at HIGHEST matmul
+    precision (the default TPU bf16 pass would destroy the sub-unit
+    coordinate detail this f32 island exists to protect — same rule as
+    geometry.square_distance / augment's rotation), then cast back and
+    re-attach the extra channels."""
+    xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3].astype(jnp.float32),
+                     trans, precision=jax.lax.Precision.HIGHEST)
+    if x.shape[-1] > 3:
+        x = jnp.concatenate([xyz.astype(x.dtype), x[..., 3:]], axis=-1)
+    else:
+        x = xyz.astype(x.dtype)
+    return x.astype(dtype) if dtype is not None else x
+
 class PointNetEncoder(nn.Module):
     """Shared-MLP encoder with optional input/feature STNs.
 
@@ -75,21 +90,23 @@ class PointNetEncoder(nn.Module):
     feature_transform: bool = False
     channel: int = 3
     dtype: Optional[object] = None
+    # First-contact layer stays f32 during bf16 TRAINING: mirrors the
+    # measured PN++ semseg guard (mm3d_tpu/models/pointnet2.py
+    # SetAbstraction.f32_train_guard) for raw mixed-scale inputs whose
+    # room-scale absolute channels drown local geometry under bf16
+    # rounding.  Serving stays bf16.
+    f32_train_guard: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
         B, N, C = x.shape
+        dt = self.dtype
+        if (self.f32_train_guard and train and dt is not None
+                and jnp.dtype(dt) == jnp.bfloat16):
+            dt = None
         trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
-        # xyz alignment in f32 (see module docstring), cast after
-        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3].astype(jnp.float32),
-                         trans)
-        if C > 3:
-            x = jnp.concatenate([xyz.astype(x.dtype), x[..., 3:]], axis=-1)
-        else:
-            x = xyz.astype(x.dtype)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-        x = SharedMLP([64], name="mlp1", dtype=self.dtype)(
+        x = _stn_align(x, trans, dt)
+        x = SharedMLP([64], name="mlp1", dtype=dt)(
             x, train, bn_momentum)
         trans_feat = None
         if self.feature_transform:
@@ -156,14 +173,7 @@ class PointNetPartSeg(nn.Module):
         channel = 6 if self.normal_channel else 3
         x = points[..., :channel]
         trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
-        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3].astype(jnp.float32),
-                         trans)
-        if channel > 3:
-            x = jnp.concatenate([xyz.astype(x.dtype), x[..., 3:]], -1)
-        else:
-            x = xyz.astype(x.dtype)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
+        x = _stn_align(x, trans, self.dtype)
         out1 = SharedMLP([64, 128, 128], name="mlp1", dtype=self.dtype)(
             x, train, bn_momentum)
         trans_feat = STN(k=128, name="fstn", dtype=self.dtype)(
@@ -197,7 +207,8 @@ class PointNetSemSeg(nn.Module):
     def __call__(self, points, train: bool = True, bn_momentum: float = 0.1):
         feat, trans, trans_feat = PointNetEncoder(
             global_feat=False, feature_transform=True, channel=self.channel,
-            name="feat", dtype=self.dtype)(points, train, bn_momentum)
+            name="feat", f32_train_guard=True,  # raw 9-dim block feats
+            dtype=self.dtype)(points, train, bn_momentum)
         h = SharedMLP([512, 256, 128], name="head_mlp", dtype=self.dtype)(
             feat, train, bn_momentum)
         h = nn.Dense(self.num_class, name="head_out", dtype=self.dtype)(h)

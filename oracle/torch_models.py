@@ -309,7 +309,17 @@ class BasicBlock(nn.Module):
 
     def forward(self, x):
         r = x if self.proj is None else self.bn_proj(self.proj(x))
-        xin = x if self.stride == 1 else F.pad(x, (0, 1, 0, 1))
+        if self.stride == 1:
+            xin = x
+        else:
+            # flax SAME padding for 3x3 stride-2: total = max((ceil(H/s)
+            # -1)*s + 3 - H, 0), split lo = total//2 (asymmetric (0,1)
+            # for even sizes, symmetric (1,1) for odd — a fixed
+            # (0,1,0,1) silently shifts odd-size feature maps)
+            h, w = x.shape[-2], x.shape[-1]
+            ph = max((-(-h // 2) - 1) * 2 + 3 - h, 0)
+            pw = max((-(-w // 2) - 1) * 2 + 3 - w, 0)
+            xin = F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
         y = F.relu(self.bn1(self.conv1(xin)))
         y = self.bn2(self.conv2(y))
         return F.relu(y + r)
@@ -592,8 +602,10 @@ def load_image_encoder(dst: ImageEncoder, params, stats):
                 _load_conv(blk.proj, params[name]["proj"]["kernel"])
                 _load_bn2d(blk.bn_proj, params[name]["bn_proj"],
                            stats[name]["bn_proj"])
-    dst.fc_glob.weight.data = _t(params["fc_glob"]["kernel"]).T.contiguous()
-    dst.fc_glob.bias.data = _t(params["fc_glob"]["bias"])
+    if "fc_glob" in params:  # per-point fusion drops the global head
+        dst.fc_glob.weight.data = _t(
+            params["fc_glob"]["kernel"]).T.contiguous()
+        dst.fc_glob.bias.data = _t(params["fc_glob"]["bias"])
 
 
 def load_fusion_cls(dst: FusionCls, variables):
