@@ -174,3 +174,29 @@ def test_pipeline_error_propagates():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "boom" in str(e)
+
+
+def test_loaders_resample_per_epoch(tmp_path):
+    # the reference protocol draws a fresh subsample per access; our
+    # deterministic equivalent varies the crop with set_epoch (epoch 0
+    # reproduces the pre-epoch-seeding stream)
+    import numpy as np
+    import os
+    from mm3d_tpu.data.loaders import ShapeNetPartDataset
+    root = tmp_path / "shapenet"
+    synset = root / "02691156"
+    os.makedirs(synset)
+    r = np.random.RandomState(0)
+    rows = np.concatenate([r.randn(300, 6), r.randint(0, 4, (300, 1))], -1)
+    np.savetxt(synset / "x.txt", rows, fmt="%.4f")
+    (root / "synsetoffset2category.txt").write_text("airplane\t02691156\n")
+    os.makedirs(root / "train_test_split")
+    (root / "train_test_split" / "shuffled_train_file_list.json"
+     ).write_text('["shape_data/02691156/x"]')
+    ds = ShapeNetPartDataset(str(root), split="train", npoints=64)
+    ds.set_epoch(0)
+    a0 = ds[0][0].copy()
+    ds.set_epoch(0)
+    assert np.array_equal(ds[0][0], a0)          # deterministic
+    ds.set_epoch(1)
+    assert not np.array_equal(ds[0][0], a0)      # resampled next epoch
