@@ -17,7 +17,7 @@ timeout 900 python train.py --model pointnet2_part_seg_ssg --npoint 1024 --epoch
   --batch_size 8 --train_size 128 --test_size 32 --bn_momentum 0.5 --seed 0 \
   --no_checkpoint --run_name r3_ps_fp32 2>&1 | grep final:
 timeout 900 python train.py --model pointnet2_part_seg_ssg --npoint 1024 --epoch 12 \
-  --batch_size 8 --train_size 32 --test_size 32 --bn_momentum 0.5 --seed 0 \
+  --batch_size 8 --train_size 128 --test_size 32 --bn_momentum 0.5 --seed 0 \
   --no_checkpoint --dtype bfloat16 --run_name r3_ps_bf16 2>&1 | grep final:
 # 5. train bench + serving bench
 timeout 1800 python scripts/bench_train.py --json 2>/dev/null | tail -1
