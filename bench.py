@@ -80,7 +80,7 @@ def main():
     run(K2, b0)
 
     # the shared chip shows ±15% minute-scale variance through the
-    # tunnel: time each chain length 3x and slope the per-side minima
+    # tunnel: time each chain length 5x and slope the per-side minima
     # (min-of-each-side is the clean-run estimate; min-of-slopes would
     # be optimistically biased by a slow short-chain run)
     t1s, t2s = [], []

@@ -74,7 +74,10 @@ class DataPipeline:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         total = self.steps_per_epoch() * self.batch_size
         if self.pad_remainder and total > n:
-            idx = np.concatenate([idx, idx[: total - n]])  # wrap-pad
+            # wrap-pad; np.resize cycles when the pad exceeds the
+            # dataset (idx[:total-n] under-padded for n < batch_size,
+            # silently yielding ZERO eval batches)
+            idx = np.concatenate([idx, np.resize(idx, total - n)])
         return idx[:total]
 
     def epoch(self, epoch: int = 0,

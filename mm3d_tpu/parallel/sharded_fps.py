@@ -15,7 +15,6 @@ tie-breaking across the global index order). Exercised on the virtual
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,6 @@ def sharded_fps(xyz: jax.Array, npoint: int, mesh: Mesh,
         # xyz_tile [B, tile, 3] — this shard's points
         shard = jax.lax.axis_index(axis)
         base = shard * tile  # global index offset of this tile
-        lane = jnp.arange(tile, dtype=jnp.int32)[None, :]  # [1, tile]
 
         def body(i, state):
             dist, far_idx, far_xyz, out = state

@@ -39,7 +39,9 @@ def _local_hits(radius, xyz_tile, new_xyz, axis):
     """Per-device in-ball mask + global-rank bookkeeping.
 
     Returns (in_ball [B,S,t], global_rank [B,S,t] 1-based among global
-    hits, cnt_all [B,S] global hit count, base: global index offset).
+    hits, local_rank [B,S,t] 1-based among THIS tile's hits,
+    local_cnt [B,S], cnt_all [B,S] global hit count, base: global
+    index offset).
     """
     tile = xyz_tile.shape[1]
     shard = jax.lax.axis_index(axis)
@@ -67,7 +69,8 @@ def _local_hits(radius, xyz_tile, new_xyz, axis):
     prefix = jnp.sum(jnp.where((sidx < shard)[:, None, None],
                                cnt_all, 0), axis=0)  # exclusive, [B,S]
     global_rank = local_rank + prefix[:, :, None]
-    return in_ball, global_rank, jax.lax.psum(cnt, axis), base
+    return (in_ball, global_rank, local_rank, cnt,
+            jax.lax.psum(cnt, axis), base)
 
 
 def sharded_ball_query(radius: float, nsample: int, xyz: jax.Array,
@@ -84,7 +87,7 @@ def sharded_ball_query(radius: float, nsample: int, xyz: jax.Array,
     assert N % n_shards == 0, (N, n_shards)
 
     def local(xyz_tile, new_full):
-        in_ball, grank, cnt_g, base = _local_hits(
+        in_ball, grank, lrank, local_cnt, cnt_g, base = _local_hits(
             radius, xyz_tile, new_full, axis)
         tile = xyz_tile.shape[1]
         lane = jnp.arange(tile, dtype=jnp.int32)
@@ -138,14 +141,12 @@ def sharded_sa_group_max(radius: float, nsample: int, xyz: jax.Array,
         return jax.nn.relu(h @ w2 + b2)
 
     def local(xyz_tile, pre_tile, new_full, cb_full):
-        in_ball, grank, cnt_g, base = _local_hits(
+        in_ball, grank, lrank, local_cnt, cnt_g, base = _local_hits(
             radius, xyz_tile, new_full, axis)
         tile = xyz_tile.shape[1]
         # my first-K *local* hits (superset of my share of the global
         # first K, since global_rank >= local_rank): gather their lane
         # ids per centroid, small fixed shape [B,S,K]
-        lrank = jnp.cumsum(in_ball.astype(jnp.int32), -1)
-        local_cnt = lrank[..., -1]  # [B,S]
         live_l = in_ball & (lrank <= nsample)
         tgt = jnp.where(live_l, lrank - 1, nsample)
         lanes = jnp.zeros((B, S, nsample + 1), jnp.int32)
@@ -194,8 +195,9 @@ def sharded_fp(xyz1: jax.Array, xyz2: jax.Array, pre: jax.Array,
     row's 3-NN/interpolation depends only on that row and the (small,
     replicated) sparse set, so the stage is embarrassingly parallel
     over the dense axis: `xyz1`/`skip` are sharded on the point axis,
-    `xyz2`/`pre` replicated; compute and HBM stay local and one
-    all_gather of the [B, N/n, C1] tile outputs merges shards.
+    `xyz2`/`pre` replicated; compute and HBM stay local and the OUTPUT
+    STAYS SHARDED on the point axis (XLA inserts a reshard lazily only
+    where a replicated consumer needs it — no collective inside).
     Bitwise-identical to the single-device composition (same
     HIGHEST-precision distance formula, per-row top_k).
     """

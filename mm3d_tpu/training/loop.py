@@ -229,7 +229,9 @@ class Trainer:
                 best_metric=best_metric)
         self.start_epoch = 0
         if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
-            self.state = self.ckpt.restore(self.state)
+            from mm3d_tpu.parallel import replicated_sharding
+            self.state = self.ckpt.restore(
+                self.state, sharding=replicated_sharding(self.mesh))
             self.start_epoch = int(self.state.step) // max(
                 self.train_pipe.steps_per_epoch(), 1)
             self.log.info("resumed from step %d (epoch %d)",

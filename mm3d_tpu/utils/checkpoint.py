@@ -35,15 +35,33 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state),
             metrics={k: float(v) for k, v in (metrics or {}).items()})
 
-    def restore(self, state_template: Any, step: Optional[int] = None) -> Any:
-        """Restore into the structure of `state_template` (abstract ok)."""
+    def restore(self, state_template: Any, step: Optional[int] = None,
+                sharding=None) -> Any:
+        """Restore into the structure of `state_template` (abstract ok).
+
+        Without `sharding`, restored arrays are COMMITTED to device 0 —
+        they then clash with multi-device-sharded batches at the first
+        jit call ("incompatible devices").  Pass the run's replicated
+        sharding (e.g. parallel.replicated_sharding(mesh)) to restore
+        straight into the mesh layout.
+        """
         if step is None:
             step = self._mngr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, state_template)
-        return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+        def abstract(x):
+            s = ocp.utils.to_shape_dtype_struct(x)
+            if sharding is not None and hasattr(x, "shape") and x.shape is not None:
+                try:
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                sharding=sharding)
+                except Exception:
+                    return s
+            return s
+
+        tmpl = jax.tree_util.tree_map(abstract, state_template)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(tmpl))
 
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()

@@ -62,9 +62,20 @@ def main(argv=None):
     trainer = Trainer(cfg)
     # restore from the given run dir
     from mm3d_tpu.utils.checkpoint import CheckpointManager
-    ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"))
-    step = ckpt.best_step() or ckpt.latest_step()
-    trainer.state = ckpt.restore(trainer.state, step)
+    best_metric = {"classification": "instance_acc",
+                   "partseg": "instance_miou", "semseg": "miou",
+                   "fusion_cls": "instance_acc",
+                   "fusion_semseg": "miou"}[trainer.task]
+    # best_metric must be passed or orbax's best_step() silently
+    # degrades to latest_step() (no best_fn -> no best tracking)
+    ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"),
+                             best_metric=best_metric)
+    step = ckpt.best_step()
+    if step is None:
+        step = ckpt.latest_step()
+    from mm3d_tpu.parallel import replicated_sharding
+    trainer.state = ckpt.restore(
+        trainer.state, step, sharding=replicated_sharding(trainer.mesh))
     trainer.log.info("restored checkpoint step %s from %s", step, a.log_dir)
 
     import contextlib
@@ -78,12 +89,24 @@ def main(argv=None):
     # jitted steps trace lazily on first call, and closing it early
     # would silently re-trace big-N vote evals unsharded
     shard_ctx.__enter__()
+    try:
+        result = _eval_and_vote(a, trainer)
+    finally:
+        shard_ctx.__exit__(None, None, None)
+    trainer.log.info("eval: %s", result)
+    print(result)
+    return result
+
+
+def _eval_and_vote(a, trainer):
+    import numpy as np
+    from mm3d_tpu.training import steps
+    key = jax.random.PRNGKey(a.seed)
     result = trainer.evaluate()
     # Vote ensembling (the lineage's test-time protocol) for every task
     # family: cls rotated votes, partseg shuffle votes, fusion_cls rotated
     # votes with extrinsics compensation, fusion_semseg shuffle votes.
     # test_pipe pads the final batch; `valid` masks the padded rows.
-    key = jax.random.PRNGKey(a.seed)
     if a.num_votes > 1 and trainer.task == "classification":
         vote = steps.make_vote_eval_step(trainer.model, a.num_votes)
         correct = total = 0
@@ -141,9 +164,6 @@ def main(argv=None):
             cm = c if cm is None else cm + c
         _, miou = M.iou_from_confusion(cm)
         result["vote_miou"] = float(miou)
-    shard_ctx.__exit__(None, None, None)
-    trainer.log.info("eval: %s", result)
-    print(result)
     return result
 
 
