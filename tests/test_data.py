@@ -200,3 +200,19 @@ def test_loaders_resample_per_epoch(tmp_path):
     assert np.array_equal(ds[0][0], a0)          # deterministic
     ds.set_epoch(1)
     assert not np.array_equal(ds[0][0], a0)      # resampled next epoch
+
+
+def test_pipeline_pad_remainder_smaller_than_batch():
+    # a test set SMALLER than the batch must still yield one padded
+    # batch (idx[:total-n] under-padded and produced zero batches)
+    from mm3d_tpu.data.pipeline import DataPipeline
+    ds = [(np.full((4, 3), i, np.float32), i) for i in range(3)]
+    pipe = DataPipeline(ds, batch_size=8, shuffle=False, to_device=False,
+                        pad_remainder=True)
+    batches = list(pipe.epoch(0))
+    assert len(batches) == 1
+    (pts, lab), valid = batches[0]
+    assert pts.shape[0] == 8
+    assert valid.tolist() == [True] * 3 + [False] * 5
+    # wrapped rows cycle the dataset
+    assert lab.tolist() == [0, 1, 2, 0, 1, 2, 0, 1]
