@@ -183,6 +183,20 @@ class ShapeNetPartDataset(_EpochSeeded):
         return pts.astype(np.float32), cat, seg
 
 
+
+def semseg_block_features(bxyz: np.ndarray, brgb: np.ndarray,
+                          room_min: np.ndarray,
+                          room_extent: np.ndarray) -> np.ndarray:
+    """The 9-dim semseg block feature convention, shared by the training
+    loader and the whole-scene tiler (drift between the two skews eval
+    vs training): [block-local xyz, rgb in [0,1], room-normalized xyz].
+    Room normalization is min-shifted — `bxyz / room_max` alone produces
+    ~1e6-magnitude garbage for rooms stored with negative coordinates.
+    """
+    local = bxyz - bxyz.mean(0, keepdims=True)
+    norm = (bxyz - room_min) / np.maximum(room_extent, 1e-6)
+    return np.concatenate([local, brgb, norm], -1).astype(np.float32)
+
 class S3DISDataset(_EpochSeeded):
     """S3DIS-format semantic-segmentation loader over preprocessed
     per-room `.npy` files ([N, 7] = x y z r g b label).
@@ -215,14 +229,19 @@ class S3DISDataset(_EpochSeeded):
 
     def _room(self, ridx):
         if ridx not in self._cache:
-            self._cache[ridx] = np.load(self.rooms[ridx]).astype(np.float32)
+            room = np.load(self.rooms[ridx]).astype(np.float32)
+            if room[:, 3:6].max() > 1.5:  # rgb stored 0..255: scale at
+                room[:, 3:6] /= 255.0     # ROOM level (a dark block
+                                          # would defeat a per-block check)
+            self._cache[ridx] = room
         return self._cache[ridx]
 
     def __getitem__(self, index: int):
         rng = self._rng(index)
         data = self._room(index % len(self.rooms))
         xyz, rgb, label = data[:, :3], data[:, 3:6], data[:, 6].astype(np.int32)
-        room_max = xyz.max(0)
+        room_min = xyz.min(0)
+        room_extent = xyz.max(0) - room_min
         for _ in range(10):
             center = xyz[rng.randint(len(xyz))][:2]
             lo = center - self.block_size / 2
@@ -235,13 +254,9 @@ class S3DISDataset(_EpochSeeded):
             mask = np.ones(len(xyz), bool)
         sel = np.where(mask)[0]
         choice = rng.choice(sel, self.npoints, replace=len(sel) < self.npoints)
-        bxyz, brgb, bl = xyz[choice], rgb[choice], label[choice]
-        local = bxyz - bxyz.mean(0, keepdims=True)
-        if brgb.max() > 1.5:  # stored as 0..255
-            brgb = brgb / 255.0
-        norm = bxyz / np.maximum(room_max, 1e-6)
-        feats = np.concatenate([local, brgb, norm], -1).astype(np.float32)
-        return feats, bl
+        feats = semseg_block_features(xyz[choice], rgb[choice],
+                                      room_min, room_extent)
+        return feats, label[choice]
 
 
 class MultimodalPairedDataset:

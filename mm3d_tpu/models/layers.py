@@ -132,6 +132,11 @@ class BatchNorm(nn.Module):
             mean, var = stats
             if not self.is_initializing():
                 n = stats_n
+                # stats always commit in f32 regardless of the caller's
+                # compute dtype (same invariant the inline train branch
+                # enforces locally — bf16 EMAs absorb rounding per step)
+                mean = mean.astype(jnp.float32)
+                var = var.astype(jnp.float32)
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = ((1 - momentum) * ra_mean.value
                                  + momentum * mean)

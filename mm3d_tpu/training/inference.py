@@ -28,7 +28,12 @@ def make_predictor(model_name: str, variables, dtype: Optional[Any] = None,
     spec = get_model(model_name)
     try:
         model = spec.builder(dtype=dtype, **model_kwargs)
-    except TypeError:  # model without a dtype knob
+    except TypeError as e:
+        if "dtype" not in str(e):
+            raise  # a real kwarg error, not a missing dtype knob
+        if dtype is not None:
+            print(f"[mm3d] {model_name} has no dtype knob; "
+                  "predictor runs fp32")
         model = spec.builder(**model_kwargs)
 
     @jax.jit

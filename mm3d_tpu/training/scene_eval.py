@@ -30,8 +30,10 @@ def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
     (points are re-sampled with replacement when a block is small, so a
     point can appear several times — votes accumulate).
     """
+    from mm3d_tpu.data.loaders import semseg_block_features
     rng = np.random.RandomState(seed)
-    room_max = xyz.max(0)
+    room_min = xyz.min(0)
+    room_extent = xyz.max(0) - room_min
     if rgb is None:
         rgb = np.zeros_like(xyz)
     if rgb.max() > 1.5:
@@ -56,11 +58,8 @@ def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
                     extra = rng.choice(sel, npoints - len(choice),
                                        replace=len(sel) < npoints)
                     choice = np.concatenate([choice, extra])
-                bxyz = xyz[choice]
-                local = bxyz - bxyz.mean(0, keepdims=True)
-                norm = bxyz / np.maximum(room_max, 1e-6)
-                feats_l.append(np.concatenate(
-                    [local, rgb[choice], norm], -1).astype(np.float32))
+                feats_l.append(semseg_block_features(
+                    xyz[choice], rgb[choice], room_min, room_extent))
                 idx_l.append(choice.astype(np.int32))
     if not feats_l:
         raise ValueError("scene produced no blocks")
@@ -83,6 +82,27 @@ def _accumulate_votes(votes, pidx, log_probs, live):
     return votes.at[pidx.reshape(-1)].add(contrib.reshape(-1, C))
 
 
+def _vote_loop(predict_fn, arrays, pidx, nblocks, batch_size,
+               n_room, num_classes):
+    """Wrap-pad the per-block arrays, batch them through predict_fn and
+    vote-accumulate on device.  Shared by the point-only and multimodal
+    room protocols (the wrap-padding subtlety lives in ONE place)."""
+    pad = (-nblocks) % batch_size
+    if pad:
+        # wrap-around: pad can exceed nblocks for tiny rooms
+        rep = np.resize(np.arange(nblocks), pad)
+        arrays = [np.concatenate([a, a[rep]], 0) for a in arrays]
+        pidx = np.concatenate([pidx, pidx[rep]], 0)
+    votes = jnp.zeros((n_room, num_classes), jnp.float32)
+    for s in range(0, nblocks + pad, batch_size):
+        sl = slice(s, s + batch_size)
+        logp = predict_fn(*(jnp.asarray(a[sl]) for a in arrays))
+        live = jnp.asarray(
+            (s + np.arange(batch_size) < nblocks).astype(np.float32))
+        votes = _accumulate_votes(votes, jnp.asarray(pidx[sl]), logp, live)
+    return np.asarray(votes)  # single D2H fetch of the whole room
+
+
 def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
                    labels: Optional[np.ndarray] = None,
                    rgb: Optional[np.ndarray] = None,
@@ -97,23 +117,8 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
     empty unless `labels` given).
     """
     feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
-    nblocks = feats.shape[0]
-    votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
-    pad = (-nblocks) % batch_size
-    if pad:
-        # wrap-around padding: pad can exceed nblocks for tiny rooms
-        # (feats[:pad] would under-pad and break the live-mask shapes)
-        rep = np.resize(np.arange(nblocks), pad)
-        feats = np.concatenate([feats, feats[rep]], 0)
-        pidx = np.concatenate([pidx, pidx[rep]], 0)
-    for s in range(0, nblocks + pad, batch_size):
-        chunk = jnp.asarray(feats[s:s + batch_size])
-        logp = predict_fn(chunk)
-        live = jnp.asarray(
-            (s + np.arange(batch_size) < nblocks).astype(np.float32))
-        votes = _accumulate_votes(votes, jnp.asarray(pidx[s:s + batch_size]),
-                                  logp, live)
-    votes = np.asarray(votes)  # single D2H fetch of the whole room
+    votes = _vote_loop(predict_fn, [feats], pidx, feats.shape[0],
+                       batch_size, len(xyz), num_classes)
     return _finish(votes, labels, num_classes)
 
 
@@ -122,12 +127,23 @@ def _finish(votes, labels, num_classes):
     pred = votes.argmax(-1).astype(np.int32)
     metrics: Dict[str, float] = {"coverage": float(seen.mean())}
     if labels is not None:
-        cm = M.confusion_matrix(jnp.asarray(pred[seen]),
-                                jnp.asarray(labels[seen]), num_classes)
-        _, miou = M.iou_from_confusion(cm)
+        # the reference protocol scores EVERY point: uncovered points
+        # keep their (arbitrary, class-0) prediction and count as
+        # wrong rather than silently inflating the metrics; `coverage`
+        # reports the uncovered fraction.  Host bincount — everything
+        # is already numpy after the single D2H fetch, and eager device
+        # ops through the tunnel cost 10-50x.
+        cm = np.bincount(
+            labels.astype(np.int64) * num_classes + pred,
+            minlength=num_classes * num_classes
+        ).reshape(num_classes, num_classes)
+        inter = np.diag(cm).astype(np.float64)
+        union = cm.sum(0) + cm.sum(1) - np.diag(cm)
+        present = (cm.sum(1) > 0) | (cm.sum(0) > 0)
+        iou = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         metrics.update({
-            "point_acc": float((pred[seen] == labels[seen]).mean()),
-            "miou": float(miou),
+            "point_acc": float((pred == labels).mean()),
+            "miou": float(iou[present].mean()) if present.any() else 1.0,
         })
     return pred, metrics
 
@@ -177,24 +193,6 @@ def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
     """
     feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
     imgs, Kin, Rm, tm = render_block_views(feats, hw, seed)
-    nblocks = feats.shape[0]
-    votes = jnp.zeros((len(xyz), num_classes), jnp.float32)
-    pad = (-nblocks) % batch_size
-    if pad:
-        # wrap-around padding (see evaluate_scene)
-        rep = np.resize(np.arange(nblocks), pad)
-        feats = np.concatenate([feats, feats[rep]], 0)
-        pidx = np.concatenate([pidx, pidx[rep]], 0)
-        imgs = np.concatenate([imgs, imgs[rep]], 0)
-        Kin = np.concatenate([Kin, Kin[rep]], 0)
-        Rm = np.concatenate([Rm, Rm[rep]], 0)
-        tm = np.concatenate([tm, tm[rep]], 0)
-    for s in range(0, nblocks + pad, batch_size):
-        sl = slice(s, s + batch_size)
-        logp = predict_fn(jnp.asarray(feats[sl]), jnp.asarray(imgs[sl]),
-                          jnp.asarray(Kin[sl]), jnp.asarray(Rm[sl]),
-                          jnp.asarray(tm[sl]))
-        live = jnp.asarray(
-            (s + np.arange(batch_size) < nblocks).astype(np.float32))
-        votes = _accumulate_votes(votes, jnp.asarray(pidx[sl]), logp, live)
-    return _finish(np.asarray(votes), labels, num_classes)
+    votes = _vote_loop(predict_fn, [feats, imgs, Kin, Rm, tm], pidx,
+                       feats.shape[0], batch_size, len(xyz), num_classes)
+    return _finish(votes, labels, num_classes)
