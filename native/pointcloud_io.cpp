@@ -79,7 +79,7 @@ int64_t mm3d_parse_table(const char* path, float* out, int64_t max_rows,
   return n / cols;
 }
 
-// Parse many files in parallel.  `paths` is a NULL-separated*? no —
+// Parse many files in parallel.  `paths` is
 // an array of C strings.  Each file i is parsed into
 // out + i*max_rows*cols; rows_out[i] receives its row count.
 void mm3d_parse_many(const char** paths, int64_t n_files, float* out,
