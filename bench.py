@@ -50,7 +50,13 @@ def main():
 
     def mkbatch(seed):
         r = np.random.RandomState(seed)
-        return (jnp.asarray(r.randn(BATCH, NPOINT, 3).astype(np.float32)),
+        # unit-sphere clouds (pc_normalize convention) — what the models
+        # actually see, so in-ball hit statistics are representative
+        pts = r.randn(BATCH, NPOINT, 3).astype(np.float32)
+        pts -= pts.mean(1, keepdims=True)
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True).max(
+            1, keepdims=True)
+        return (jnp.asarray(pts),
                 jnp.asarray(r.rand(BATCH, *IMAGE_HW, 3).astype(np.float32)),
                 jnp.asarray(np.broadcast_to(
                     np.eye(3, dtype=np.float32) * 32, (BATCH, 3, 3)).copy()),

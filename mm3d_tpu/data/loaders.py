@@ -134,7 +134,10 @@ class _EpochSeeded:
         self._epoch = int(epoch) % (1 << 20)
 
     def _rng(self, index: int) -> np.random.RandomState:
-        return np.random.RandomState(index + 1000003 * self._epoch)
+        # RandomState seeds must fit in [0, 2**32): the raw mix reaches
+        # ~1e12 once epoch ~4300 and would raise ValueError.
+        return np.random.RandomState(
+            (index + 1000003 * self._epoch) % (1 << 32))
 
 class ShapeNetPartDataset(_EpochSeeded):
     """ShapeNetPart-format part-segmentation loader.

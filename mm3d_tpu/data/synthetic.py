@@ -321,54 +321,8 @@ class SyntheticIndoorScene:
         rng = np.random.RandomState(
             (self.seed * 3_000_017 + _split_offset(self.split) + index)
             % (2**32))
-        room = rng.uniform(4.0, 8.0, 2)  # W, D
-        H = rng.uniform(2.5, 3.5)
-        n = self.npoints
-        quota = [int(n * 0.25), int(n * 0.15), int(n * 0.25)]
-        pts, lbl, col = [], [], []
-        # floor(0), ceiling(1), wall(2)
-        f = np.stack([rng.uniform(0, room[0], quota[0]),
-                      rng.uniform(0, room[1], quota[0]),
-                      np.zeros(quota[0])], -1)
-        c = np.stack([rng.uniform(0, room[0], quota[1]),
-                      rng.uniform(0, room[1], quota[1]),
-                      np.full(quota[1], H)], -1)
-        nw = quota[2]
-        side = rng.randint(0, 4, nw)
-        wx = rng.uniform(0, room[0], nw); wy = rng.uniform(0, room[1], nw)
-        wz = rng.uniform(0, H, nw)
-        w = np.stack([np.where(side < 2, wx, np.where(side == 2, 0, room[0])),
-                      np.where(side < 2, np.where(side == 0, 0, room[1]), wy),
-                      wz], -1)
-        for arr, klass, base in ((f, 0, 0.45), (c, 1, 0.85), (w, 2, 0.65)):
-            pts.append(arr)
-            lbl.append(np.full(len(arr), klass, np.int32))
-            col.append(np.clip(base + 0.1 * rng.randn(len(arr), 3), 0, 1))
-        # furniture: classes 3..12 from seeded primitives on the floor
-        remaining = n - sum(quota)
-        n_obj = rng.randint(3, 7)
-        counts = np.full(n_obj, remaining // n_obj)
-        counts[: remaining - counts.sum()] += 1
-        for j in range(n_obj):
-            klass = 3 + rng.randint(self.num_classes - 3)
-            prng = np.random.RandomState(self.seed + 91 * klass)
-            kind = klass % len(_PRIMS)
-            params = _class_params(prng, kind)
-            p, _ = _sample_primitive(rng, kind, int(counts[j]), params)
-            p = p * 0.4
-            p = p - p.min(0, keepdims=True)
-            p += np.array([rng.uniform(0.5, room[0] - 0.5),
-                           rng.uniform(0.5, room[1] - 0.5), 0.0])
-            pts.append(p)
-            lbl.append(np.full(int(counts[j]), klass, np.int32))
-            hue = np.array([klass / 13.0, 1 - klass / 13.0, 0.5])
-            col.append(np.clip(hue + 0.05 * rng.randn(int(counts[j]), 3), 0, 1))
-        xyz = np.concatenate(pts, 0).astype(np.float32)
-        seg = np.concatenate(lbl, 0)
-        rgb = np.concatenate(col, 0).astype(np.float32)
-        perm = rng.permutation(n)
-        xyz, seg, rgb = xyz[perm], seg[perm], rgb[perm]
-        room_max = np.array([room[0], room[1], H], np.float32)
+        xyz, rgb, seg, room_max = _gen_room(rng, self.npoints,
+                                            self.num_classes, self.seed)
         norm_xyz = xyz / room_max
         local = xyz - xyz.mean(0, keepdims=True)
         feats = np.concatenate([local, rgb, norm_xyz], -1)
@@ -376,6 +330,69 @@ class SyntheticIndoorScene:
 
     def __len__(self):
         return self.size
+
+
+def _gen_room(rng, n, num_classes, seed):
+    """One synthetic indoor room: (xyz [n,3], rgb [n,3], seg [n],
+    room_max [3]).  Shared by SyntheticIndoorScene (block features) and
+    synthetic_room (raw room for the whole-scene protocol)."""
+    room = rng.uniform(4.0, 8.0, 2)  # W, D
+    H = rng.uniform(2.5, 3.5)
+    quota = [int(n * 0.25), int(n * 0.15), int(n * 0.25)]
+    pts, lbl, col = [], [], []
+    # floor(0), ceiling(1), wall(2)
+    f = np.stack([rng.uniform(0, room[0], quota[0]),
+                  rng.uniform(0, room[1], quota[0]),
+                  np.zeros(quota[0])], -1)
+    c = np.stack([rng.uniform(0, room[0], quota[1]),
+                  rng.uniform(0, room[1], quota[1]),
+                  np.full(quota[1], H)], -1)
+    nw = quota[2]
+    side = rng.randint(0, 4, nw)
+    wx = rng.uniform(0, room[0], nw); wy = rng.uniform(0, room[1], nw)
+    wz = rng.uniform(0, H, nw)
+    w = np.stack([np.where(side < 2, wx, np.where(side == 2, 0, room[0])),
+                  np.where(side < 2, np.where(side == 0, 0, room[1]), wy),
+                  wz], -1)
+    for arr, klass, base in ((f, 0, 0.45), (c, 1, 0.85), (w, 2, 0.65)):
+        pts.append(arr)
+        lbl.append(np.full(len(arr), klass, np.int32))
+        col.append(np.clip(base + 0.1 * rng.randn(len(arr), 3), 0, 1))
+    # furniture: classes 3..12 from seeded primitives on the floor
+    remaining = n - sum(quota)
+    n_obj = rng.randint(3, 7)
+    counts = np.full(n_obj, remaining // n_obj)
+    counts[: remaining - counts.sum()] += 1
+    for j in range(n_obj):
+        klass = 3 + rng.randint(num_classes - 3)
+        prng = np.random.RandomState(seed + 91 * klass)
+        kind = klass % len(_PRIMS)
+        params = _class_params(prng, kind)
+        p, _ = _sample_primitive(rng, kind, int(counts[j]), params)
+        p = p * 0.4
+        p = p - p.min(0, keepdims=True)
+        p += np.array([rng.uniform(0.5, room[0] - 0.5),
+                       rng.uniform(0.5, room[1] - 0.5), 0.0])
+        pts.append(p)
+        lbl.append(np.full(int(counts[j]), klass, np.int32))
+        hue = np.array([klass / 13.0, 1 - klass / 13.0, 0.5])
+        col.append(np.clip(hue + 0.05 * rng.randn(int(counts[j]), 3), 0, 1))
+    xyz = np.concatenate(pts, 0).astype(np.float32)
+    seg = np.concatenate(lbl, 0)
+    rgb = np.concatenate(col, 0).astype(np.float32)
+    perm = rng.permutation(n)
+    xyz, seg, rgb = xyz[perm], seg[perm], rgb[perm]
+    room_max = np.array([room[0], room[1], H], np.float32)
+    return xyz, rgb, seg, room_max
+
+
+def synthetic_room(n: int = 20000, seed: int = 0, num_classes: int = 13):
+    """Raw synthetic room for the whole-scene protocol (test.py --scene
+    synthetic): returns (xyz [n,3] in room coords, rgb [n,3] in [0,1],
+    labels [n] int32)."""
+    rng = np.random.RandomState((seed * 3_000_017 + 7919) % (2**32))
+    xyz, rgb, seg, _ = _gen_room(rng, n, num_classes, seed)
+    return xyz, rgb, seg
 
 
 # --------------------------------------------------------------- multimodal

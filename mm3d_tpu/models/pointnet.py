@@ -216,8 +216,14 @@ class PointNetSemSeg(nn.Module):
             {"trans_feat": trans_feat}
 
 
-def feature_transform_regularizer(trans: jax.Array) -> jax.Array:
-    """mean ||I - A Aᵀ||_F over the batch (orthogonality penalty)."""
+def feature_transform_regularizer(trans: jax.Array,
+                                  row_mask: Optional[jax.Array] = None
+                                  ) -> jax.Array:
+    """mean ||I - A Aᵀ||_F over the batch (orthogonality penalty).
+
+    `row_mask` [B] drops rows (eval-time wrap-pad duplicates) from the
+    mean without changing the unmasked value.
+    """
     k = trans.shape[-1]
     trans = trans.astype(jnp.float32)
     eye = jnp.eye(k, dtype=trans.dtype)
@@ -225,24 +231,40 @@ def feature_transform_regularizer(trans: jax.Array) -> jax.Array:
     # eps inside the sqrt: the STN starts at exactly identity (zero-init
     # head), where ||0||'s gradient is NaN without it.
     sq = jnp.sum(jnp.square(diff.reshape(diff.shape[0], -1)), axis=1)
-    return jnp.mean(jnp.sqrt(sq + 1e-12))
+    val = jnp.sqrt(sq + 1e-12)
+    if row_mask is not None:
+        rm = row_mask.astype(val.dtype)
+        return jnp.sum(val * rm) / jnp.maximum(jnp.sum(rm), 1.0)
+    return jnp.mean(val)
 
 
 def nll_loss(log_probs: jax.Array, target: jax.Array,
-             weight: Optional[jax.Array] = None) -> jax.Array:
-    """NLL on log-probabilities; log_probs [..., K], target [...] int."""
+             weight: Optional[jax.Array] = None,
+             row_mask: Optional[jax.Array] = None) -> jax.Array:
+    """NLL on log-probabilities; log_probs [..., K], target [...] int.
+
+    `row_mask` [B] (target's leading axis) excludes padded rows from the
+    mean; class `weight` and the mask compose (both weight the sum).
+    """
     picked = jnp.take_along_axis(log_probs, target[..., None], axis=-1)[..., 0]
-    if weight is not None:
-        w = weight[target]
-        return -jnp.sum(picked * w) / jnp.sum(w)
+    w = weight[target] if weight is not None else None
+    if row_mask is not None:
+        rm = row_mask.reshape(
+            row_mask.shape + (1,) * (picked.ndim - 1)).astype(picked.dtype)
+        rm = jnp.broadcast_to(rm, picked.shape)
+        w = rm if w is None else w * rm
+    if w is not None:
+        return -jnp.sum(picked * w) / jnp.maximum(jnp.sum(w), 1e-9)
     return -jnp.mean(picked)
 
 
 def pointnet_loss(log_probs, target, aux, mat_diff_loss_scale: float = 0.001,
-                  weight: Optional[jax.Array] = None) -> jax.Array:
+                  weight: Optional[jax.Array] = None,
+                  row_mask: Optional[jax.Array] = None) -> jax.Array:
     """NLL + orthogonality regularizer on the feature transform."""
-    loss = nll_loss(log_probs, target, weight)
+    loss = nll_loss(log_probs, target, weight, row_mask=row_mask)
     tf = aux.get("trans_feat") if aux else None
     if tf is not None:
-        loss = loss + mat_diff_loss_scale * feature_transform_regularizer(tf)
+        loss = loss + mat_diff_loss_scale * feature_transform_regularizer(
+            tf, row_mask=row_mask)
     return loss

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -80,6 +81,21 @@ def _want_fused_sa_train() -> bool:
     return dispatch.get_impl() == "pallas"
 
 
+def _fps_start(module: nn.Module, train: bool, xyz: jax.Array):
+    """Lineage-parity random-start FPS seed.
+
+    The torch lineage seeds farthest_point_sample with a fresh randint
+    per call during TRAINING (grouping-seed variation acts as a mild
+    regularizer); eval is deterministic.  Enabled by passing an "fps"
+    RNG stream to apply (train.py --fps_random_start); absent stream ->
+    start index 0, bit-identical to the previous behavior.
+    """
+    if train and module.has_rng("fps"):
+        return jax.random.randint(module.make_rng("fps"),
+                                  (xyz.shape[0],), 0, xyz.shape[1])
+    return 0
+
+
 class SetAbstraction(nn.Module):
     """Single-scale grouping SA block: sample_and_group -> MLP -> max.
 
@@ -137,7 +153,8 @@ class SetAbstraction(nn.Module):
                 new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
             else:
                 new_xyz, grouped = ops.sample_and_group(
-                    self.npoint, self.radius, self.nsample, xyz, feats)
+                    self.npoint, self.radius, self.nsample, xyz, feats,
+                    fps_start_idx=_fps_start(self, train, xyz))
             h = SharedMLP(self.mlp, name="mlp", dtype=mdt)(
                 grouped, train, bn_momentum)
             return new_xyz, jnp.max(h, axis=2)  # [B,S,C']
@@ -170,7 +187,8 @@ class SetAbstraction(nn.Module):
             from mm3d_tpu.parallel.sharded_fps import sharded_fps
             fps_idx = sharded_fps(xyz, self.npoint, ps.mesh, ps.axis)
         else:
-            fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+            fps_idx = ops.farthest_point_sample(
+                xyz, self.npoint, _fps_start(self, train, xyz))
         new_xyz = ops.index_points(xyz, fps_idx)
         cterm = new_xyz.astype(pre.dtype) @ kernel[:3]
         bn = BatchNorm(name="proj_bn",
@@ -272,7 +290,8 @@ class SetAbstractionMsg(nn.Module):
         if (self.f32_train_guard and train and dt is not None
                 and jnp.dtype(dt) == jnp.bfloat16):
             dt = None
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint)
+        fps_idx = ops.farthest_point_sample(
+            xyz, self.npoint, _fps_start(self, train, xyz))
         new_xyz = ops.index_points(xyz, fps_idx)
         cat = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
         outs = []

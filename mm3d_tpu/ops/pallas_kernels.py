@@ -865,6 +865,11 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     Np = _round_up(N, 128)
     if version is None:
         version = 6 if Np == 1024 else 4
+    if version not in (2, 4, 6):
+        # v3 (and other raced-then-deleted variants) are gone; fail
+        # loudly instead of NameError-ing at trace time.
+        raise ValueError(f"unknown fused-SA kernel version {version!r}"
+                         " (available: 2, 4, 6)")
     if version == 4 and nsample > 128:
         # v4's bf16 arithmetic one-hot is exact only for slot ranks
         # <= 128 (bf16 integers are exact to 256 and the compared
@@ -954,9 +959,6 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     elif version == 4:
         kern = functools.partial(_fused_sa_kernel_v4, radius * radius,
                                  nsample, N, use_tri, P, C1)
-    elif version == 3:
-        kern = functools.partial(_fused_sa_kernel_v3, radius * radius,
-                                 nsample, N, use_tri)
     else:
         kern = functools.partial(_fused_sa_kernel, radius * radius,
                                  nsample, N, use_tri)

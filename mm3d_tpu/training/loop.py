@@ -75,6 +75,11 @@ class TrainConfig:
     # (test.py --dtype bfloat16) opts into bf16 eval on converged
     # checkpoints, where the fused bf16 kernels apply.
     eval_dtype: str = "float32"
+    # Lineage-parity random-start FPS during training (the torch lineage
+    # seeds FPS with a fresh randint per call; grouping-seed variation
+    # is a mild regularizer).  Off by default: eval paths and fp32
+    # torch-parity comparisons are bit-identical with it off.
+    fps_random_start: bool = False
 
 
 def build_datasets(cfg: TrainConfig, task: str):
@@ -187,7 +192,7 @@ class Trainer:
         self.train_step = steps.make_train_step(
             self.model, self.spec.loss, self.tx, self.task,
             augment_names=tuple(augs), num_category=cfg.num_category,
-            class_weights=cw)
+            class_weights=cw, fps_random_start=cfg.fps_random_start)
         self._bn_refresh_n = cfg.bn_refresh_steps
         if self._bn_refresh_n is None:
             # gate on the EFFECTIVE dtype: a family whose builder
@@ -284,8 +289,10 @@ class Trainer:
             # large fixed epoch index: distinct shuffle stream, and
             # numpy seeding requires a non-negative value.  max_steps
             # bounds the producer too (no abandoned prefetch thread).
+            # (1<<20)-1: set_epoch reduces mod 2^20, so 1<<20 itself
+            # would alias the epoch-0 per-sample crop stream.
             for i, batch in enumerate(self.train_pipe.epoch(
-                    1 << 20, max_steps=self._bn_refresh_n)):
+                    (1 << 20) - 1, max_steps=self._bn_refresh_n)):
                 bs = self.bn_refresh_step(self.state, batch,
                                           jax.random.fold_in(key, i))
                 self.state = self.state.replace(batch_stats=bs)

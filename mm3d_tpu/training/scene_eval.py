@@ -130,7 +130,8 @@ def _finish(votes, labels, num_classes):
         # the reference protocol scores EVERY point: uncovered points
         # keep their (arbitrary, class-0) prediction and count as
         # wrong rather than silently inflating the metrics; `coverage`
-        # reports the uncovered fraction.  Host bincount — everything
+        # reports the fraction of points receiving >=1 vote.  Host
+        # bincount — everything
         # is already numpy after the single D2H fetch, and eager device
         # ops through the tunnel cost 10-50x.
         cm = np.bincount(

@@ -26,12 +26,18 @@ def _split_variables(state: TrainState):
     return v
 
 
-def _apply_train(model, state, key, args, bn_momentum):
+def _apply_train(model, state, key, args, bn_momentum,
+                 fps_random_start: bool = False):
     variables = _split_variables(state)
     mutable = ["batch_stats"] if state.batch_stats else []
+    rngs = {"dropout": key}
+    if fps_random_start:
+        # lineage-parity random-start FPS: an extra "fps" RNG stream the
+        # SA blocks consume per call (models/pointnet2.py _fps_start)
+        rngs["dropout"], rngs["fps"] = jax.random.split(key)
     out = model.apply(variables, *args, train=True,
                       bn_momentum=bn_momentum,
-                      rngs={"dropout": key}, mutable=mutable)
+                      rngs=rngs, mutable=mutable)
     if mutable:
         (log_probs, aux), mut = out
         return log_probs, aux, mut.get("batch_stats", state.batch_stats)
@@ -43,7 +49,8 @@ def make_train_step(model, loss_fn, tx, task: str,
                     augment_names: Sequence[str] = (),
                     num_category: int = 16,
                     class_weights=None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    fps_random_start: bool = False) -> Callable:
     """Returns jitted (state, batch, lr, bn_momentum, key) -> (state, metrics).
 
     Batch formats: classification (points, label);
@@ -76,7 +83,8 @@ def make_train_step(model, loss_fn, tx, task: str,
         def loss_of(params):
             st = state.replace(params=params)
             log_probs, aux, new_bs = _apply_train(
-                model, st, k_drop, args, bn_momentum)
+                model, st, k_drop, args, bn_momentum,
+                fps_random_start=fps_random_start)
             loss = loss_fn(log_probs, target, aux, weight=class_weights)
             return loss, (log_probs, new_bs)
 
@@ -139,9 +147,15 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
 
     `valid` is an optional [B] bool row mask (full-test-set eval pads the
     final batch; padded rows are wrap-duplicates and must not count —
-    ADVICE round 1).  Masked rows still contribute to `loss`, which is a
-    diagnostic; accuracy/mIoU/checkpoint selection use correct/count/cm.
+    ADVICE round 1).  When the loss accepts `row_mask` (the canonical
+    losses do), padded rows are masked out of `loss` too; otherwise the
+    unmasked loss is kept as a diagnostic.
     """
+    import inspect
+    try:
+        _mask_loss = "row_mask" in inspect.signature(loss_fn).parameters
+    except (TypeError, ValueError):
+        _mask_loss = False
 
     def step(state: TrainState, batch, valid=None):
         variables = _split_variables(state)
@@ -149,6 +163,7 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
         B = points.shape[0]
         vm = (jnp.ones((B,), jnp.int32) if valid is None
               else valid.astype(jnp.int32))
+        lkw = {"row_mask": vm} if _mask_loss else {}
 
         def scalar_metrics(log_probs, target, aux):
             # target [B] (cls) or [B,N] (per-point); mask rows by vm
@@ -157,7 +172,7 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
             hit = (pred == target).astype(jnp.int32) * wm
             per_row = target.size // B
             return pred, {
-                "loss": loss_fn(log_probs, target, aux),
+                "loss": loss_fn(log_probs, target, aux, **lkw),
                 "correct": jnp.sum(hit),
                 "count": jnp.sum(vm) * per_row,
                 "cm": M.confusion_matrix(pred, target, num_classes,
@@ -185,7 +200,7 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
             ious = M.shape_ious(pred, target, ps, pc, max_parts)
             hit = (pred == target).astype(jnp.int32) * vm[:, None]
             return {
-                "loss": loss_fn(log_probs, target, aux),
+                "loss": loss_fn(log_probs, target, aux, **lkw),
                 "correct": jnp.sum(hit),
                 "count": jnp.sum(vm) * target.shape[1],
                 "ious": ious,
@@ -254,7 +269,10 @@ def make_vote_fusion_cls_step(model, num_votes: int = 3) -> Callable:
             k = jax.random.fold_in(key, i)
             angle = jax.random.uniform(k, (points.shape[0],)) * 2.0 * jnp.pi
             rot = aug._rot_y(angle)
-            pts = aug._apply_rot(points, rot, False)
+            # rotate normals (channels 3:6) with the xyz, matching
+            # make_vote_eval_step: FusionCls(normal_channel=True) votes
+            # would otherwise feed geometrically inconsistent normals
+            pts = aug._apply_rot(points, rot, True)
             Rv = jnp.einsum("bij,bkj->bik", R, rot,
                             precision=jax.lax.Precision.HIGHEST)
             return acc + probs_of(pts, Rv)

@@ -42,7 +42,61 @@ def parse_args(argv=None):
                         "over all devices (blocks with >= MIN_N points; "
                         "0 = off).  SPMD sharded FPS + ball query + SA "
                         "tail, exact semantics — parallel/point_shard.py")
+    p.add_argument("--scene", default=None, metavar="PATH|synthetic",
+                   help="whole-scene room evaluation (the reference "
+                        "test_semseg protocol; semseg/fusion_semseg "
+                        "only): tile the room into overlapping blocks, "
+                        "vote-accumulate per-point probabilities, report "
+                        "point_acc/mIoU/coverage.  PATH = .npz with "
+                        "xyz [N,3] (+ optional rgb [N,3], labels [N]); "
+                        "'synthetic' = a generated room")
+    p.add_argument("--scene_points", type=int, default=20000,
+                   help="synthetic room size (--scene synthetic)")
+    p.add_argument("--block_size", type=float, default=1.0,
+                   help="scene tiling block edge (meters)")
+    p.add_argument("--stride", type=float, default=0.5,
+                   help="scene tiling stride (meters)")
     return p.parse_args(argv)
+
+
+def _eval_scene(a, trainer, npoint):
+    """test.py --scene: the reference's whole-room stitching protocol
+    from the CLI (VERDICT r3 item 4; SURVEY.md test_semseg row)."""
+    from mm3d_tpu.training import scene_eval
+    from mm3d_tpu.training.steps import _split_variables
+    if trainer.task not in ("semseg", "fusion_semseg"):
+        raise SystemExit("--scene requires a semseg or fusion_semseg model")
+    if a.scene == "synthetic":
+        from mm3d_tpu.data.synthetic import synthetic_room
+        xyz, rgb, labels = synthetic_room(a.scene_points, seed=a.seed)
+    else:
+        d = np.load(a.scene)
+        if hasattr(d, "files"):  # .npz
+            xyz = d["xyz"]
+            rgb = d["rgb"] if "rgb" in d.files else None
+            labels = d["labels"] if "labels" in d.files else None
+        else:  # bare .npy: [N,3] xyz or [N,6] xyz+rgb (+1 label col)
+            xyz, rgb, labels = d[:, :3], None, None
+            if d.shape[1] >= 6:
+                rgb = d[:, 3:6]
+            if d.shape[1] in (4, 7):
+                labels = d[:, -1].astype(np.int32)
+    model = trainer.eval_model
+    variables = _split_variables(trainer.state)
+    common = dict(labels=labels, rgb=rgb, num_classes=13, npoints=npoint,
+                  block_size=a.block_size, stride=a.stride,
+                  batch_size=a.batch_size, seed=a.seed)
+    if trainer.task == "semseg":
+        predict = jax.jit(lambda p: model.apply(variables, p,
+                                                train=False)[0])
+        _, metrics = scene_eval.evaluate_scene(predict, xyz, **common)
+    else:
+        predict = jax.jit(
+            lambda p, i, k, r, t: model.apply(variables, p, i, k, r, t,
+                                              train=False)[0])
+        _, metrics = scene_eval.evaluate_scene_multimodal(
+            predict, xyz, **common)
+    return metrics
 
 
 def main(argv=None):
@@ -82,15 +136,23 @@ def main(argv=None):
     shard_ctx = contextlib.nullcontext()
     if a.point_shard:
         from mm3d_tpu import parallel
-        mesh = parallel.make_mesh(jax.devices(),
-                                  data_parallel=len(jax.devices()))
+        # reuse the Trainer's data-mesh devices: Trainer takes
+        # devices[:dp] with dp | batch_size, so a full-device mesh here
+        # would put the SA shard_map on a different device set than the
+        # committed eval batches ('incompatible devices' at runtime)
+        devs = list(trainer.mesh.devices.flat)
+        mesh = parallel.make_mesh(devs, data_parallel=len(devs))
         shard_ctx = parallel.point_shard(mesh, min_points=a.point_shard)
     # the context must stay open through the vote passes below: their
     # jitted steps trace lazily on first call, and closing it early
     # would silently re-trace big-N vote evals unsharded
     shard_ctx.__enter__()
     try:
-        result = _eval_and_vote(a, trainer)
+        if a.scene:
+            result = _eval_scene(a, trainer,
+                                 a.npoint or spec.default_npoint)
+        else:
+            result = _eval_and_vote(a, trainer)
     finally:
         shard_ctx.__exit__(None, None, None)
     trainer.log.info("eval: %s", result)

@@ -61,3 +61,41 @@ def test_partseg_host_aggregation():
     out = M.partseg_metrics_host(ious, cats, num_categories=16)
     np.testing.assert_allclose(out["instance_miou"], ious.mean())
     np.testing.assert_allclose(out["class_miou"], (0.75 + 0.2) / 2)
+
+
+def test_loss_row_mask_excludes_padded_rows():
+    """eval_loss pad masking (VERDICT r3 item 7): the canonical losses
+    accept row_mask, and a masked batch scores exactly like the valid
+    subset alone — for plain NLL, class-weighted NLL, and the
+    orthogonality-regularized pointnet_loss."""
+    import jax
+    import jax.numpy as jnp
+    from mm3d_tpu.models.pointnet import (nll_loss, pointnet_loss,
+                                          feature_transform_regularizer)
+    rng = np.random.RandomState(0)
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(6, 5).astype(np.float32)))
+    tgt = jnp.asarray(rng.randint(0, 5, 6))
+    mask = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.int32)
+    np.testing.assert_allclose(
+        nll_loss(lp, tgt, row_mask=mask), nll_loss(lp[:4], tgt[:4]),
+        rtol=1e-6)
+    w = jnp.asarray(rng.rand(5).astype(np.float32)) + 0.1
+    np.testing.assert_allclose(
+        nll_loss(lp, tgt, weight=w, row_mask=mask),
+        nll_loss(lp[:4], tgt[:4], weight=w), rtol=1e-6)
+    # per-point targets [B, N]
+    lp2 = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(6, 7, 5).astype(np.float32)))
+    tgt2 = jnp.asarray(rng.randint(0, 5, (6, 7)))
+    np.testing.assert_allclose(
+        nll_loss(lp2, tgt2, row_mask=mask), nll_loss(lp2[:4], tgt2[:4]),
+        rtol=1e-6)
+    # pointnet_loss incl. the regularizer term
+    tf = jnp.asarray(rng.randn(6, 3, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        pointnet_loss(lp, tgt, {"trans_feat": tf}, row_mask=mask),
+        pointnet_loss(lp[:4], tgt[:4], {"trans_feat": tf[:4]}), rtol=1e-6)
+    # no mask == all-ones mask (the default path is unchanged)
+    np.testing.assert_allclose(
+        feature_transform_regularizer(tf),
+        feature_transform_regularizer(tf, row_mask=jnp.ones(6)), rtol=1e-6)

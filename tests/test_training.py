@@ -132,3 +132,63 @@ def test_bf16_mixed_precision_training_learns(tmp_path):
     result = tr.fit()
     assert np.isfinite(result["eval_loss"])
     assert 0.0 <= result["instance_acc"] <= 1.0
+
+
+def test_fps_random_start(tmp_path):
+    """Lineage-parity random-start FPS (VERDICT r3 item 6): training
+    with --fps_random_start still learns, the 'fps' RNG stream actually
+    changes the grouping, and paths WITHOUT the stream are untouched."""
+    import jax
+    import jax.numpy as jnp
+    from mm3d_tpu.models import get_model
+
+    spec = get_model("pointnet2_cls_ssg")
+    model = spec.builder(num_class=4)
+    pts = jnp.asarray(
+        np.random.RandomState(0).randn(2, 128, 3).astype(np.float32))
+    from _helpers import jit_init
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts,
+                 train=True)
+
+    def fwd(rngs):
+        out = model.apply(v, pts, train=True, rngs=rngs,
+                          mutable=["batch_stats"])
+        return np.asarray(out[0][0])
+
+    base = fwd({"dropout": jax.random.PRNGKey(2)})
+    again = fwd({"dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_array_equal(base, again)  # no stream -> unchanged
+    randomized = fwd({"dropout": jax.random.PRNGKey(2),
+                      "fps": jax.random.PRNGKey(3)})
+    assert not np.allclose(base, randomized)  # stream changes grouping
+    # eval mode ignores the stream entirely
+    e1 = np.asarray(model.apply(v, pts, train=False)[0])
+    e2 = np.asarray(model.apply(v, pts, train=False,
+                                rngs={"fps": jax.random.PRNGKey(3)})[0])
+    np.testing.assert_array_equal(e1, e2)
+    # end-to-end: the CLI flag trains and learns
+    cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=1,
+                    train_size=16, test_size=8, fps_random_start=True)
+    tr = Trainer(cfg)
+    result = tr.fit()
+    assert np.isfinite(result["eval_loss"])
+
+
+def test_scene_eval_cli(tmp_path):
+    """test.py --scene: the reference test_semseg whole-room protocol is
+    reachable from the CLI (VERDICT r3 item 4)."""
+    import train as train_cli
+    import test as test_cli
+    train_cli.main([
+        "--model", "pointnet_sem_seg", "--epoch", "1", "--batch_size", "4",
+        "--npoint", "128", "--train_size", "8", "--test_size", "4",
+        "--log_dir", str(tmp_path), "--run_name", "scn"])
+    run_dir = os.path.join(str(tmp_path), "semseg", "scn")
+    res = test_cli.main([
+        "--model", "pointnet_sem_seg", "--log_dir", run_dir,
+        "--npoint", "128", "--batch_size", "4", "--test_size", "4",
+        "--scene", "synthetic", "--scene_points", "2000",
+        "--block_size", "2.0", "--stride", "2.0"])
+    assert {"coverage", "point_acc", "miou"} <= set(res)
+    assert res["coverage"] > 0.9

@@ -109,3 +109,37 @@ def test_partseg_vote_predictions_in_category_range():
     for b in range(2):
         lo, hi = ranges[int(cat[b])]
         assert pred[b].min() >= lo and pred[b].max() < hi
+
+
+def test_fusion_cls_vote_rotates_normals_with_xyz():
+    """VERDICT r3 weak-3 regression: fusion-cls votes must rotate the
+    normals channels (3:6) with the xyz, like make_vote_eval_step.  A
+    probe 'model' scores geometric consistency (normals == xyz in the
+    input); if votes left normals stale, rotated passes would see
+    normals != rotated xyz and flip the argmax."""
+    import flax.linen as nn
+    from mm3d_tpu.training.state import TrainState
+
+    class ConsistencyProbe(nn.Module):
+        @nn.compact
+        def __call__(self, pts, image, K, R, t, train=True):
+            mse = jnp.mean((pts[..., 3:6] - pts[..., :3]) ** 2,
+                           axis=(1, 2))
+            logits = jnp.stack([-100.0 * mse, -jnp.ones_like(mse)], -1)
+            return jax.nn.log_softmax(logits), {}
+
+    model = ConsistencyProbe()
+    rng = np.random.RandomState(3)
+    B, N = 2, 32
+    xyz = rng.randn(B, N, 3).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([xyz, xyz], -1))  # normals == xyz
+    img = jnp.zeros((B, 8, 8, 3), jnp.float32)
+    K = jnp.broadcast_to(jnp.eye(3) * 4, (B, 3, 3)).astype(jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3)).astype(jnp.float32)
+    t = jnp.tile(jnp.array([0., 0., 3.], jnp.float32), (B, 1))
+    st = TrainState(step=jnp.zeros((), jnp.int32), params={},
+                    batch_stats={}, opt_state=())
+    vote = steps.make_vote_fusion_cls_step(model, num_votes=4)
+    pred = np.asarray(vote(st, pts, img, K, R, t, jax.random.PRNGKey(0)))
+    # consistent rotation keeps normals == xyz in every vote -> class 0
+    np.testing.assert_array_equal(pred, np.zeros(B, np.int32))

@@ -58,6 +58,10 @@ def parse_args(argv=None):
                         "in fp32 — see TrainConfig.bn_refresh_steps)")
     p.add_argument("--impl", default="auto", choices=["auto", "jax", "pallas"],
                    help="geometry-op implementation")
+    p.add_argument("--fps_random_start", action="store_true",
+                   help="lineage-parity random FPS seed per train step "
+                        "(torch seeds FPS with randint during training); "
+                        "eval stays deterministic")
     return p.parse_args(argv)
 
 
@@ -79,7 +83,8 @@ def main(argv=None):
         test_size=a.test_size, resume=a.resume,
         checkpoint=not a.no_checkpoint, dtype=a.dtype,
         bn_init_momentum=a.bn_momentum,
-        bn_refresh_steps=a.bn_refresh_steps)
+        bn_refresh_steps=a.bn_refresh_steps,
+        fps_random_start=a.fps_random_start)
     trainer = Trainer(cfg)
     result = trainer.fit()
     trainer.log.info("final: %s", result)
