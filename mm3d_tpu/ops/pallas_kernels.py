@@ -829,6 +829,135 @@ def _fused_sa_kernel_v6(radius2: float, nsample: int, n_actual: int,
     out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
 
 
+def _fused_sa_kernel_v7(radius2: float, nsample: int, n_actual: int,
+                        use_tri: bool, C1: int, new_ref, xyzt_ref,
+                        *rest_refs):
+    """v7 fused SA tail: slab-select gather (the indexed-gather attack
+    on the one-hot build floor, VERDICT r3 item 2/Missing 5).
+
+    v2/v4/v6 all pay ~3 VPU passes over the [R=St*K, N] one-hot stack
+    (broadcast + compare + cast) — the measured serving floor.  v7
+    never materializes a full-width one-hot.  Ranks are global and
+    monotone along lanes, so the (k+1)-th hit's 128-lane GROUP is
+    computable from per-group prefix counts with [R,1] algebra; the
+    build then becomes:
+
+      1. gstar [R,1]: which group holds the clamped target rank
+         (Gn cheap compares on [R,1]).
+      2. sel [R,128]: the target group's global-rank slab, via a
+         Gn-way select chain — ONE pass over [R, N] total (the slabs
+         are read in place; no K-replication materializes).
+      3. oh [R,128] = (sel == kv1i) — compare + cast on 128 lanes
+         instead of N.
+
+    The gather matmul runs against a group-packed RHS
+    (pre_packed[m, g*C1+c] = pre[g*128+m, c]): [R,128]@[128,Gn*C1]
+    = R*N*C1 MACs — the same reduction v4's block packing achieves —
+    and the true block is picked per row from gstar afterwards
+    ([R, C1] selects).  Build cost ~1 pass + eps vs ~3.
+    """
+    if use_tri:
+        (tri_ref, pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    else:
+        (pre_ref, cbias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         out_ref) = rest_refs
+    St = new_ref.shape[0]
+    _, N = xyzt_ref.shape
+    K = nsample
+    L = 128
+    Gn = N // L
+    lane = jax.lax.broadcasted_iota(jnp.int32, (St, N), 1)
+
+    a = new_ref[:]
+    b = xyzt_ref[:]
+    cross = jnp.dot(a, b, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=0, keepdims=True)
+    d2 = a2 - 2.0 * cross + b2
+
+    in_ball = (d2 <= radius2) & (lane < n_actual)
+    if use_tri:
+        rank = jnp.dot(in_ball.astype(jnp.int8), tri_ref[:],
+                       preferred_element_type=jnp.int32) * in_ball
+    else:
+        rank = _prefix_count(in_ball.astype(jnp.int32), lane) * in_ball
+    cnt = jnp.sum(in_ball.astype(jnp.int32), axis=1, keepdims=True)
+
+    # per-group hit counts -> exclusive prefix (gcum[g] = hits before
+    # group g); all [St, 1]
+    gcum = [jnp.zeros_like(cnt)]
+    for g in range(1, Gn):
+        gcum.append(gcum[-1] + jnp.sum(
+            in_ball[:, (g - 1) * L:g * L].astype(jnp.int32),
+            axis=1, keepdims=True))
+
+    R = St * K
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    if St & (St - 1) == 0:
+        kv = row >> (St.bit_length() - 1)
+    else:
+        kv = row // St
+    cnt_rep = pltpu.repeat(cnt, K, axis=0)              # [R, 1] k-major
+    kv1i = jnp.minimum(kv + 1, jnp.maximum(cnt_rep, 1))
+    # target group: #{g >= 1 : gcum[g] < kv1i}
+    gstar = jnp.zeros_like(kv1i)
+    for g in range(1, Gn):
+        gstar = gstar + (pltpu.repeat(gcum[g], K, axis=0)
+                         < kv1i).astype(jnp.int32)
+
+    # slab-select the target group's global-rank tile, k-major rows
+    parts = []
+    for k in range(K):
+        gk = gstar[k * St:(k + 1) * St]                 # [St, 1]
+        acc = rank[:, 0:L]
+        for g in range(1, Gn):
+            acc = jnp.where(gk == g, rank[:, g * L:(g + 1) * L], acc)
+        parts.append(acc)
+    sel = jnp.concatenate(parts, axis=0) if K > 1 else parts[0]
+    # global ranks are distinct within a row; masked non-hits hold 0
+    # and kv1i >= 1, so the compare is exact with no in-ball re-mask
+    oh = (sel == kv1i).astype(jnp.bfloat16)             # [R, 128]
+
+    pre = pre_ref[:]        # [128, Gn*C1 (padded)], group-packed
+    dt = pre.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    if dt == jnp.float32:
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g2 = (jnp.dot(oh, hi, preferred_element_type=jnp.float32)
+              + jnp.dot(oh, mid, preferred_element_type=jnp.float32)
+              + jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+    else:
+        g2 = jnp.dot(oh, pre, preferred_element_type=jnp.float32)
+
+    # pick the target block's C1 lanes per row
+    g = g2[:, 0:C1]
+    for q in range(1, Gn):
+        g = jnp.where(gstar == q, g2[:, q * C1:(q + 1) * C1], g)
+    # zero-hit centroids read global index 0 = packed row 0, block 0
+    g = jnp.where(cnt_rep == 0,
+                  pre_ref[0:1, 0:C1].astype(jnp.float32), g)
+    cb_rep = pltpu.repeat(cbias_ref[:], K, axis=0)      # [R, C1pad]
+    h = jnp.maximum(g.astype(dt) + cb_rep[:, :C1], 0.0)
+    h = jnp.dot(h, w1_ref[:C1, :], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+
+    # k-strided max (overflow slots are duplicates — see v2)
+    acc = h[0:St]
+    for k in range(1, K):
+        acc = jnp.maximum(acc, h[k * St:(k + 1) * St])
+    out_ref[:] = acc
+
+
 def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
                     new_xyz: jax.Array, pre: jax.Array, cbias: jax.Array,
                     w1: jax.Array, b1: jax.Array, w2: jax.Array,
@@ -855,7 +984,9 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         per-element ALU work, not the layout), and an int8-rank compare
         fails to compile in Mosaic (no packed narrow vector compare).
         The one-hot build floor is ~3 full passes over [St*K, N] in
-        32-bit VPU lanes — v2/v4/v6 all sit on it.
+        32-bit VPU lanes — v2/v4/v6 all sit on it.  v7 (slab-select
+        gather, r4) attacks that floor directly: ~1 pass + eps build,
+        same gather MACs as v4 — opt-in until raced on chip.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -865,11 +996,11 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     Np = _round_up(N, 128)
     if version is None:
         version = 6 if Np == 1024 else 4
-    if version not in (2, 4, 6):
+    if version not in (2, 4, 6, 7):
         # v3 (and other raced-then-deleted variants) are gone; fail
         # loudly instead of NameError-ing at trace time.
         raise ValueError(f"unknown fused-SA kernel version {version!r}"
-                         " (available: 2, 4, 6)")
+                         " (available: 2, 4, 6, 7)")
     if version == 4 and nsample > 128:
         # v4's bf16 arithmetic one-hot is exact only for slot ranks
         # <= 128 (bf16 integers are exact to 256 and the compared
@@ -892,7 +1023,18 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         ((0, 0), (0, 5), (0, Np - N)))
     new_p = jnp.pad(new_xyz.astype(jnp.float32),
                     ((0, 0), (0, Sp - S), (0, 5)))
-    if P > 1:
+    Gn = Np // 128
+    if version == 7:
+        # group-packed RHS: row m lanes [g*C1:(g+1)*C1] = pre[g*128 + m]
+        lanes7 = _round_up(Gn * C1, 128)
+        pre_p = jnp.pad(
+            jnp.swapaxes(
+                jnp.pad(pre, ((0, 0), (0, Np - N), (0, 0))
+                        ).reshape(B, Gn, 128, C1), 1, 2
+            ).reshape(B, 128, Gn * C1),
+            ((0, 0), (0, 0), (0, lanes7 - Gn * C1)))
+        pre_rows, pre_lanes = 128, lanes7
+    elif P > 1:
         NPr = N // P
         # packed RHS: row m lanes [q*C1:(q+1)*C1] = pre[q*NPr + m]
         pre_p = jnp.pad(
@@ -933,7 +1075,12 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         tri_bytes = (Np * Np * (1 if version == 4 else 2)
                      if use_tri else 0)
         budget = 4 * 1024 * 1024 - tri_bytes
-        if version == 6:
+        if version == 7:
+            # per slot-row: sel i32 + oh bf16 (128 lanes) + the packed
+            # gather output [*, Gn*C1] f32; rank/d2 are per-centroid
+            # ([st, Np]) — amortize over nsample slots
+            ohsz = 4 * 128 + 2 * 128 + 4 * pre_lanes + (8 * Np) // nsample
+        elif version == 6:
             # same tiling as v2 (measured: smaller tiles cost more in
             # grid overhead than the naive VMEM accounting saves)
             ohsz = dsz * Np
@@ -953,7 +1100,10 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
         while Sp % st:
             st -= 1
     grid = (B, Sp // st)
-    if version == 6:
+    if version == 7:
+        kern = functools.partial(_fused_sa_kernel_v7, radius * radius,
+                                 nsample, N, use_tri, C1)
+    elif version == 6:
         kern = functools.partial(_fused_sa_kernel_v6, radius * radius,
                                  nsample, N, use_tri)
     elif version == 4:

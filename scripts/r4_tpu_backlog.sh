@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-4 on-chip backlog.  Runs the queued r3 validation first
+# (VERDICT r4 item 1 — strictly first), then the r4 kernel races.
+# Run when the TPU returns:  bash scripts/r4_tpu_backlog.sh
+set -x
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+# ---- r3 backlog (quality gates, sweeps, bf16 pairs, benches) ----
+bash scripts/r3_tpu_validation.sh
+
+# ---- r4: race v7 slab-select fused SA vs v4/v6 defaults ----
+timeout 1800 python scripts/proto_sa_v7.py 2>&1 | grep -v WARNING | tail -8
+MM3D_PROTO_DTYPE=float32 timeout 1800 python scripts/proto_sa_v7.py 2>&1 | grep -v WARNING | tail -8
+
+# ---- r4: quantify the row-DMA gather lever ----
+timeout 1200 python scripts/proto_dma_gather.py 2>&1 | grep -v WARNING | tail -6

@@ -154,6 +154,33 @@ def test_fused_sa_v4_block_packed_path():
     np.testing.assert_allclose(got4, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("B,N,S,K,radius,C1", [
+    (1, 1024, 32, 16, 0.25, 16),   # tri rank path + multi-group select
+    (1, 512, 24, 16, 0.3, 32),     # scan rank path, Gn=4
+    (2, 96, 24, 16, 0.4, 24),      # padded N, Gn=1 degenerate
+])
+def test_fused_sa_v7_slab_select(B, N, S, K, radius, C1):
+    """v7 (slab-select gather — picks the target 128-lane group from
+    per-group prefix counts, then compares only that slab) must match
+    the unfused composition at every routing shape: tri/scan rank,
+    group-packed RHS block selection, padding."""
+    args = _mk(21, B, N, S, C1, 16, 32)
+    want = np.asarray(_ref(radius, K, *args))
+    got = np.asarray(pk.fused_sa_pallas(radius, K, *args, interpret=True,
+                                        version=7))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_sa_v7_zero_hit_and_overflow():
+    xyz, new_xyz, pre, cbias, w1, b1, w2, b2 = _mk(22, 2, 256, 16, 12, 16, 24)
+    new_xyz = new_xyz.at[:, 0].set(100.0)  # zero-hit centroid
+    want = np.asarray(_ref(0.4, 48, xyz, new_xyz, pre, cbias, w1, b1, w2, b2))
+    got = np.asarray(pk.fused_sa_pallas(
+        0.4, 48, xyz, new_xyz, pre, cbias, w1, b1, w2, b2,
+        interpret=True, version=7))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_fused_sa_large_nsample_routes_exact():
     """nsample > 128 must not route to v4 (its bf16 arithmetic one-hot
     is exact only for clamped slot ranks <= 128)."""
