@@ -63,9 +63,14 @@ def main():
             out = jax.jit(lambda p, K=K: pk.fused_sa_pallas(
                 rad, K, xyz, new, p, cb, w1, b1, w2, b2))(pre)
             ok_sa = bool(jnp.isfinite(out.astype(jnp.float32)).all())
+            # v7 (slab-select): every one-hot row has exactly one
+            # nonzero term, so it must match the default bit-for-bit
+            out7 = jax.jit(lambda p, K=K: pk.fused_sa_pallas(
+                rad, K, xyz, new, p, cb, w1, b1, w2, b2, version=7))(pre)
+            ok_v7 = bool((np.asarray(out7) == np.asarray(out)).all())
             print(f"N={N} S={S} K={K}: bq_exact={ok_bq} "
-                  f"fused_finite={ok_sa}", flush=True)
-            if not (ok_bq and ok_sa):
+                  f"fused_finite={ok_sa} v7_exact={ok_v7}", flush=True)
+            if not (ok_bq and ok_sa and ok_v7):
                 bad.append((N, S, K))
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"N={N} S={S} K={K}: FAILED {type(e).__name__}: "

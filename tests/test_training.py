@@ -192,3 +192,13 @@ def test_scene_eval_cli(tmp_path):
         "--block_size", "2.0", "--stride", "2.0"])
     assert {"coverage", "point_acc", "miou"} <= set(res)
     assert res["coverage"] > 0.9
+    # .npz room path (the user-data entry): same protocol, file input
+    from mm3d_tpu.data.synthetic import synthetic_room
+    xyz, rgb, labels = synthetic_room(1200, seed=1)
+    npz = os.path.join(str(tmp_path), "room.npz")
+    np.savez(npz, xyz=xyz, rgb=rgb, labels=labels)
+    res2 = test_cli.main([
+        "--model", "pointnet_sem_seg", "--log_dir", run_dir,
+        "--npoint", "128", "--batch_size", "4", "--test_size", "4",
+        "--scene", npz, "--block_size", "2.0", "--stride", "2.0"])
+    assert {"coverage", "point_acc", "miou"} <= set(res2)
