@@ -34,11 +34,35 @@ import os
 DTYPE = os.environ.get("MM3D_BENCH_DTYPE", "bfloat16")
 
 
+def _backend_watchdog(seconds=180):
+    """Fail fast if the axon backend is unreachable.
+
+    During the 2026-08-17 relay outage, backend init hung ~10 min before
+    erroring; a hung bench run wastes the driver's round-end budget.  A
+    daemon timer hard-exits (rc 3, message on stderr) unless cancelled
+    right after `jax.devices()` succeeds."""
+    import sys
+    import threading
+
+    def boom():
+        print("bench.py: TPU backend init exceeded "
+              f"{seconds}s (axon relay down?) — aborting", file=sys.stderr)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from mm3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    wd = _backend_watchdog()
     import jax
+    jax.devices()  # force backend init under the watchdog
+    wd.cancel()
     import jax.numpy as jnp
     import numpy as np
     from mm3d_tpu.models import get_model
