@@ -15,3 +15,11 @@ MM3D_PROTO_DTYPE=float32 timeout 1800 python scripts/proto_sa_v7.py 2>&1 | grep 
 
 # ---- r4: quantify the row-DMA gather lever ----
 timeout 1200 python scripts/proto_dma_gather.py 2>&1 | grep -v WARNING | tail -6
+
+# ---- r4: train-floor roofline closure (VERDICT item 3, route b) ----
+timeout 1800 python scripts/roofline_train.py 2>&1 | grep -v WARNING | tail -8
+
+# ---- r4: fps_random_start on the pallas path (vector start on chip) ----
+timeout 900 python train.py --model pointnet2_cls_ssg --epoch 2 --batch_size 16 \
+  --train_size 64 --test_size 32 --bn_momentum 0.5 --seed 0 --no_checkpoint \
+  --fps_random_start --run_name r4_fps_rand 2>&1 | grep final:
