@@ -390,7 +390,11 @@ def synthetic_room(n: int = 20000, seed: int = 0, num_classes: int = 13):
     """Raw synthetic room for the whole-scene protocol (test.py --scene
     synthetic): returns (xyz [n,3] in room coords, rgb [n,3] in [0,1],
     labels [n] int32)."""
-    rng = np.random.RandomState((seed * 3_000_017 + 7919) % (2**32))
+    # distinct multiplier from SyntheticIndoorScene (3_000_017): with a
+    # shared multiplier, offset 7919 aliased train-split sample index
+    # 7919 exactly — the eval room could be a bit-identical training
+    # sample (train/eval leakage; code-review r4 finding)
+    rng = np.random.RandomState((seed * 4_000_037 + 7919) % (2**32))
     xyz, rgb, seg, _ = _gen_room(rng, n, num_classes, seed)
     return xyz, rgb, seg
 

@@ -4,7 +4,7 @@ materialization floor?
 
 Method (all chain-slope timed, tunnel-safe):
 1. Measure ACHIEVABLE HBM streaming bandwidth with a big elementwise
-   chain (read+write 2x the array per step).
+   chain (3 array passes per step — see the accounting note inline).
 2. Time the SA1 block alone: eval fwd, train fwd (BN batch stats), and
    train fwd+bwd.
 3. Convert each time to "equivalent passes over the grouped [B,S,K,C]
@@ -61,7 +61,12 @@ def main():
         return x * 1.000001 + 1e-9
 
     t_ms = med(stream, big)
-    bytes_per_pass = 2 * big.size * 4  # read + write
+    # chain_time folds p + eps*mean(fn(p)) per iteration: the stream
+    # fuses into the mean's read (no intermediate write), then the
+    # carry update reads p again and writes it — 2 reads + 1 write
+    # = 3 array passes per iteration, NOT 2 (code-review r4 finding:
+    # the 2-pass figure deflated GB/s and the implied pass counts ~1.5x)
+    bytes_per_pass = 3 * big.size * 4
     gbs = bytes_per_pass / (t_ms * 1e-3) / 1e9
     print(f"streaming probe: {t_ms:.3f} ms for {bytes_per_pass/1e9:.2f} GB"
           f" -> {gbs:.0f} GB/s achievable", flush=True)
@@ -74,6 +79,11 @@ def main():
     sa = SetAbstraction(S, 0.2, K, MLP)
     with ops.use_impl("jax"):
         v = sa.init(jax.random.PRNGKey(0), xyz, None, train=True)
+
+        @jax.jit
+        def fwd_eval(x):
+            nx, out = sa.apply(v, x, None, train=False)
+            return x + 1e-6 * out.mean() + 0.0 * nx.mean()
 
         @jax.jit
         def fwd_train(x):
@@ -92,9 +102,12 @@ def main():
             lead = jax.tree_util.tree_leaves(g)
             return x + 1e-6 * l + 1e-9 * lead[0].mean()
 
+        te = med(fwd_eval, xyz)
         tf = med(fwd_train, xyz)
         tb = med(fwd_bwd, xyz)
-    print(f"SA1 train fwd {tf:.2f} ms, fwd+bwd {tb:.2f} ms", flush=True)
+    print(f"SA1 eval fwd {te:.2f} ms, train fwd {tf:.2f} ms "
+          f"(BN-stats delta {tf - te:.2f}), fwd+bwd {tb:.2f} ms",
+          flush=True)
 
     # 3. implied grouped-tensor passes at measured bandwidth
     grouped_bytes = (B * S * K * (MLP[0] + MLP[1]) + B * S * K * MLP[2]) * 4

@@ -94,8 +94,11 @@ def _eval_scene(a, trainer, npoint):
         predict = jax.jit(
             lambda p, i, k, r, t: model.apply(variables, p, i, k, r, t,
                                               train=False)[0])
+        # render block views at the run's training resolution — the
+        # default hw=(64,64) would mismatch checkpoints trained at
+        # other image sizes (intrinsics scale with hw)
         _, metrics = scene_eval.evaluate_scene_multimodal(
-            predict, xyz, **common)
+            predict, xyz, hw=trainer.cfg.image_hw, **common)
     return metrics
 
 
