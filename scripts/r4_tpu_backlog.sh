@@ -19,6 +19,9 @@ timeout 1200 python scripts/proto_dma_gather.py 2>&1 | grep -v WARNING | tail -6
 # ---- r4: train-floor roofline closure (VERDICT item 3, route b) ----
 timeout 1800 python scripts/roofline_train.py 2>&1 | grep -v WARNING | tail -8
 
+# ---- r4: FPS interleave-depth sweep (post-v7, FPS is the next item) ----
+timeout 1200 python scripts/proto_fps_v2.py 2 4 8 16 2>&1 | grep -v WARNING | tail -8
+
 # ---- r4: fps_random_start on the pallas path (vector start on chip) ----
 timeout 900 python train.py --model pointnet2_cls_ssg --epoch 2 --batch_size 16 \
   --train_size 64 --test_size 32 --bn_momentum 0.5 --seed 0 --no_checkpoint \
