@@ -394,7 +394,9 @@ def synthetic_room(n: int = 20000, seed: int = 0, num_classes: int = 13):
     # shared multiplier, offset 7919 aliased train-split sample index
     # 7919 exactly — the eval room could be a bit-identical training
     # sample (train/eval leakage; code-review r4 finding)
-    rng = np.random.RandomState((seed * 4_000_037 + 7919) % (2**32))
+    # (seed+1): at seed=0 both multiplier products are 0, so the old form
+    # still collided with train-split index 7919's stream (ADVICE r4)
+    rng = np.random.RandomState(((seed + 1) * 4_000_037 + 7919) % (2**32))
     xyz, rgb, seg, _ = _gen_room(rng, n, num_classes, seed)
     return xyz, rgb, seg
 

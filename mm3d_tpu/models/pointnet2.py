@@ -185,6 +185,11 @@ class SetAbstraction(nn.Module):
                        and xyz.shape[1] % ps.mesh.shape[ps.axis] == 0)
         if use_sharded:
             from mm3d_tpu.parallel.sharded_fps import sharded_fps
+            # sharded_fps has no start_idx plumbing; safe because this
+            # branch is gated on `not train` above and _fps_start only
+            # randomizes under train — assert the coupling so a future
+            # train-mode point-shard path fails loudly (ADVICE r4)
+            assert not train
             fps_idx = sharded_fps(xyz, self.npoint, ps.mesh, ps.axis)
         else:
             fps_idx = ops.farthest_point_sample(

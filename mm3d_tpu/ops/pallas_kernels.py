@@ -1080,6 +1080,11 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
             # gather output [*, Gn*C1] f32; rank/d2 are per-centroid
             # ([st, Np]) — amortize over nsample slots
             ohsz = 4 * 128 + 2 * 128 + 4 * pre_lanes + (8 * Np) // nsample
+            # per-slot-row f32 MLP intermediates (h at C2p/C3p) + the
+            # replicated cbias row at C1p live alongside the gather
+            # output in EVERY dtype — without this term the tile choice
+            # overshoots scoped VMEM at larger C2/C3 (ADVICE r4)
+            ohsz += 4 * (C2p + C3p) + dsz * C1p
         elif version == 6:
             # same tiling as v2 (measured: smaller tiles cost more in
             # grid overhead than the naive VMEM accounting saves)

@@ -119,7 +119,11 @@ class Trainer:
         self.spec = get_model(cfg.model)
         self.task = self.spec.task
         if train_ds is None or test_ds is None:
-            train_ds, test_ds = build_datasets(cfg, self.task)
+            syn_tr, syn_te = build_datasets(cfg, self.task)
+            # fill only the missing side: test.py passes a real test_ds
+            # with no train_ds (train data is irrelevant to eval)
+            train_ds = train_ds if train_ds is not None else syn_tr
+            test_ds = test_ds if test_ds is not None else syn_te
         # data-parallel width must divide the batch; idle extra devices
         # rather than failing (a test nicety — production batches divide).
         n_dev = len(jax.devices())

@@ -99,8 +99,11 @@ def main():
                     mutable=["batch_stats"])
                 return out.mean() + 0.0 * nx.mean()
             l, g = jax.value_and_grad(loss)(v["params"], x)
-            lead = jax.tree_util.tree_leaves(g)
-            return x + 1e-6 * l + 1e-9 * lead[0].mean()
+            # keep EVERY grad leaf alive: with only the first leaf in the
+            # carry, XLA dead-codes the weight-grad contractions for the
+            # other layers and the measured bwd undercounts (ADVICE r4)
+            s = sum(jnp.mean(t) for t in jax.tree_util.tree_leaves(g))
+            return x + 1e-6 * l + 1e-9 * s
 
         te = med(fwd_eval, xyz)
         tf = med(fwd_train, xyz)

@@ -56,6 +56,8 @@ def parse_args(argv=None):
                    help="scene tiling block edge (meters)")
     p.add_argument("--stride", type=float, default=0.5,
                    help="scene tiling stride (meters)")
+    from train import add_dataset_args
+    add_dataset_args(p)
     return p.parse_args(argv)
 
 
@@ -116,7 +118,11 @@ def main(argv=None):
         num_class=a.num_class, seed=a.seed, test_size=a.test_size,
         log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False,
         eval_dtype=a.dtype)
-    trainer = Trainer(cfg)
+    from train import build_cli_datasets
+    _, test_ds = build_cli_datasets(a, spec.task,
+                                    a.npoint or spec.default_npoint,
+                                    test_only=True)
+    trainer = Trainer(cfg, test_ds=test_ds)
     # restore from the given run dir
     from mm3d_tpu.utils.checkpoint import CheckpointManager
     best_metric = {"classification": "instance_acc",

@@ -62,7 +62,43 @@ def parse_args(argv=None):
                    help="lineage-parity random FPS seed per train step "
                         "(torch seeds FPS with randint during training); "
                         "eval stays deterministic")
+    add_dataset_args(p)
     return p.parse_args(argv)
+
+
+def add_dataset_args(p):
+    """--dataset/--data_root group shared by train.py and test.py."""
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["synthetic", "modelnet40", "shapenetpart",
+                            "s3dis", "multimodal"],
+                   help="'synthetic' generates data in memory; the rest "
+                        "read the canonical on-disk formats from "
+                        "--data_root (SURVEY.md §2.2)")
+    p.add_argument("--data_root", default=None,
+                   help="dataset directory (required unless --dataset "
+                        "synthetic)")
+    p.add_argument("--test_area", type=int, default=5,
+                   help="S3DIS held-out area (the standard protocol "
+                        "evaluates on Area 5)")
+    p.add_argument("--uniform_sample", action="store_true",
+                   help="ModelNet: FPS-downsample each shape at load "
+                        "time instead of truncating (the reference's "
+                        "--use_uniform_sample)")
+
+
+def build_cli_datasets(a, task, npoint, test_only=False):
+    """Map --dataset/--data_root to (train_ds, test_ds); (None, None)
+    for synthetic (Trainer builds its own).  test_only skips the train
+    split (test.py never touches it)."""
+    if a.dataset == "synthetic":
+        return None, None
+    if not a.data_root:
+        raise SystemExit(f"--dataset {a.dataset} requires --data_root")
+    from mm3d_tpu.data.loaders import build_real_datasets
+    return build_real_datasets(
+        a.dataset, a.data_root, task, npoints=npoint, normals=a.normal,
+        test_area=a.test_area, uniform_sample=a.uniform_sample,
+        splits=("test",) if test_only else ("train", "test"))
 
 
 def main(argv=None):
@@ -85,7 +121,9 @@ def main(argv=None):
         bn_init_momentum=a.bn_momentum,
         bn_refresh_steps=a.bn_refresh_steps,
         fps_random_start=a.fps_random_start)
-    trainer = Trainer(cfg)
+    train_ds, test_ds = build_cli_datasets(a, spec.task,
+                                           a.npoint or spec.default_npoint)
+    trainer = Trainer(cfg, train_ds=train_ds, test_ds=test_ds)
     result = trainer.fit()
     trainer.log.info("final: %s", result)
     return result
