@@ -45,8 +45,14 @@ def _backend_watchdog(seconds=180):
     import threading
 
     def boom():
-        print("bench.py: TPU backend init exceeded "
-              f"{seconds}s (axon relay down?) — aborting", file=sys.stderr)
+        import json
+        msg = (f"TPU backend init exceeded {seconds}s "
+               "(axon relay down?)")
+        # the one-JSON-line contract holds even on outage: the driver's
+        # parsed field then carries the reason instead of null
+        # (VERDICT r4 weak 6)
+        print(json.dumps({"error": msg}), flush=True)
+        print(f"bench.py: {msg} — aborting", file=sys.stderr)
         os._exit(3)
 
     t = threading.Timer(seconds, boom)

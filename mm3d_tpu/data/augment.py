@@ -152,6 +152,22 @@ def pc_normalize(batch):
     return jnp.concatenate([xyz / m, batch[..., 3:]], axis=-1)
 
 
+# ------------------------------------------------- calib-aware (fusion)
+
+def rotate_point_cloud_z_with_calib(key, batch, R):
+    """Z-rotation with extrinsics compensation for projective fusion
+    models (VERDICT r4 item 4): cam-space coords are invariant because
+    R' @ (rot @ x) = (R @ rotᵀ) @ rot @ x = R @ x, so the point→pixel
+    projection and the sampled pixel features don't move — only the
+    point trunk sees a different pose (same math as the fusion-cls vote
+    step).  Rotates xyz channels 0:3 only, like rotate_point_cloud_z."""
+    angle = jax.random.uniform(key, (batch.shape[0],)) * 2.0 * jnp.pi
+    rot = _rot_z(angle)
+    batch = _apply_rot(batch, rot, rotate_normals=False)
+    hp = jax.lax.Precision.HIGHEST
+    return batch, jnp.einsum("bij,bkj->bik", R, rot, precision=hp)
+
+
 # --------------------------------------------------------------- pipelines
 
 _CLS_TRAIN = ("random_point_dropout", "random_scale_point_cloud",
@@ -170,18 +186,43 @@ _REGISTRY = {
     "shuffle_points": shuffle_points,
 }
 
+# augmentations that must co-transform the camera extrinsics; applied
+# through augment_fusion_batch, never augment_batch
+_CALIB_REGISTRY = {
+    "rotate_point_cloud_z_with_calib": rotate_point_cloud_z_with_calib,
+}
+
 TASK_PIPELINES = {
     "classification": _CLS_TRAIN,
     "partseg": _PARTSEG_TRAIN,
+    # late fusion: the image branch never sees point coordinates, so the
+    # point-only cls pipeline is safe as-is (SURVEY.md §2.2)
+    "fusion_cls": _CLS_TRAIN,
     "semseg": _SEMSEG_TRAIN,
+    # projective fusion: the semseg rotation must compensate extrinsics
+    "fusion_semseg": ("rotate_point_cloud_z_with_calib",),
 }
 
 
 def augment_batch(key, batch, names):
     """Apply a named augmentation sequence on device (jit-safe)."""
     for i, name in enumerate(names):
+        if name in _CALIB_REGISTRY:
+            raise ValueError(f"{name} needs calib: use augment_fusion_batch")
         batch = _REGISTRY[name](jax.random.fold_in(key, i), batch)
     return batch
+
+
+def augment_fusion_batch(key, batch, R, names):
+    """augment_batch for multimodal tasks: calib-aware entries also
+    rewrite the extrinsics; returns (points, R)."""
+    for i, name in enumerate(names):
+        k = jax.random.fold_in(key, i)
+        if name in _CALIB_REGISTRY:
+            batch, R = _CALIB_REGISTRY[name](k, batch, R)
+        else:
+            batch = _REGISTRY[name](k, batch)
+    return batch, R
 
 
 # --------------------------------------------------------- numpy (host) twin

@@ -308,7 +308,10 @@ class Trainer:
         ious, cats = [], []
         for batch, valid in self.test_pipe.epoch(0):
             m = self.eval_step(self.state, batch, valid)
-            losses.append(float(m["loss"]))
+            # weight each batch's (row-masked) loss mean by its valid
+            # count: an unweighted mean over-counts the padded final
+            # batch on non-divisible test sets (VERDICT r4 weak 5)
+            losses.append((float(m["loss"]), int(m["count"])))
             total_correct += int(m["correct"])
             total_count += int(m["count"])
             if "cm" in m:
@@ -317,7 +320,9 @@ class Trainer:
                 keep = np.asarray(m["valid"]).astype(bool)
                 ious.append(np.asarray(m["ious"])[keep])
                 cats.append(np.asarray(m["cats"])[keep])
-        out = {"eval_loss": float(np.mean(losses)) if losses else 0.0}
+        lw = sum(w for _, w in losses)
+        out = {"eval_loss": (sum(l * w for l, w in losses) / lw
+                             if lw else 0.0)}
         if task in ("classification", "fusion_cls"):
             out["instance_acc"] = total_correct / max(total_count, 1)
             out["class_acc"] = float(M.per_class_accuracy(cm))

@@ -60,7 +60,8 @@ def make_train_step(model, loss_fn, tx, task: str,
     def step(state: TrainState, batch, lr, bn_momentum, key):
         k_aug, k_drop = jax.random.split(jax.random.fold_in(key, state.step))
         points = batch["points"] if isinstance(batch, dict) else batch[0]
-        if augment_names:
+        fusion = task in ("fusion_cls", "fusion_semseg")
+        if augment_names and not fusion:
             points = aug.augment_batch(k_aug, points, tuple(augment_names))
 
         if task == "classification":
@@ -73,10 +74,15 @@ def make_train_step(model, loss_fn, tx, task: str,
         elif task == "semseg":
             target = batch[1]
             args = (points,)
-        elif task in ("fusion_cls", "fusion_semseg"):
+        elif fusion:
             target = batch["label"] if task == "fusion_cls" else batch["seg"]
-            args = (points, batch["image"], batch["K"], batch["R"],
-                    batch["t"])
+            R = batch["R"]
+            if augment_names:
+                # calib-aware pipeline: rotations co-rotate the
+                # extrinsics so the point→pixel projection is invariant
+                points, R = aug.augment_fusion_batch(
+                    k_aug, points, R, tuple(augment_names))
+            args = (points, batch["image"], batch["K"], R, batch["t"])
         else:
             raise ValueError(task)
 
@@ -118,15 +124,19 @@ def make_bn_refresh_step(model, task: str,
     def step(state: TrainState, batch, key):
         k_aug, k_drop = jax.random.split(key)
         points = batch["points"] if isinstance(batch, dict) else batch[0]
-        if augment_names:
+        fusion = task in ("fusion_cls", "fusion_semseg")
+        if augment_names and not fusion:
             points = aug.augment_batch(k_aug, points, tuple(augment_names))
         if task == "partseg":
             cat = batch[1]
             onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
             args = (points, onehot)
-        elif task in ("fusion_cls", "fusion_semseg"):
-            args = (points, batch["image"], batch["K"], batch["R"],
-                    batch["t"])
+        elif fusion:
+            R = batch["R"]
+            if augment_names:
+                points, R = aug.augment_fusion_batch(
+                    k_aug, points, R, tuple(augment_names))
+            args = (points, batch["image"], batch["K"], R, batch["t"])
         else:
             args = (points,)
         _, _, new_bs = _apply_train(model, state, k_drop, args, 0.5)
