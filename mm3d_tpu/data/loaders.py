@@ -262,8 +262,6 @@ class S3DISDataset(_EpochSeeded):
         return feats, label[choice]
 
 
-REAL_DATASETS = ("modelnet40", "shapenetpart", "s3dis", "multimodal")
-
 # which on-disk dataset format serves which model task (the registry's
 # task string); used by the CLIs to fail early on a mismatched pairing
 DATASET_TASKS = {
@@ -272,6 +270,10 @@ DATASET_TASKS = {
     "s3dis": ("semseg",),
     "multimodal": ("fusion_cls", "fusion_semseg"),
 }
+
+# single source of the dataset-name list (the CLIs build their --dataset
+# choices from this so the two can't drift)
+REAL_DATASETS = tuple(DATASET_TASKS)
 
 
 def build_real_datasets(dataset: str, root: str, task: str,

@@ -62,11 +62,11 @@ register(ModelSpec(
     # exceeds-lineage variant: SSG topology with kNN grouping instead of
     # ball query (wires ops.knn_point into a real config — VERDICT r1
     # weak-7; the canonical lineage itself is ball-query-only).
-    # SERVING NOTE: kNN grouping has no fused-SA Pallas kernel (the
-    # fused family computes ball-query membership in-kernel; kNN's
-    # global top-K ordering doesn't fit its rank-scan) — this config
-    # always serves on the unfused XLA path, several× slower than
-    # pointnet2_cls_ssg.  Use the ball-query twin for production.
+    # SERVING NOTE: kNN's global top-K ordering doesn't fit the fused
+    # family's in-kernel rank-scan, so serving splits it: XLA top_k for
+    # selection + the given-idx fused tail kernel (fused_sa_idx) for
+    # gather/MLP/max, at K <= 128 in bf16-serving or impl=pallas mode;
+    # fp32-auto and K > 128 stay on the unfused composition.
     "pointnet2_cls_knn", "classification",
     lambda **kw: pn2.PointNet2ClsSSG(knn=True, **kw),
     pn.pointnet_loss, default_npoint=1024))

@@ -1257,8 +1257,13 @@ def fused_sa_idx_pallas(nsample: int, idx: jax.Array, pre: jax.Array,
         # MLP intermediates per slot-row; the idx/sel bookkeeping adds
         # one i32 [R, Kp] tile
         ohsz = dsz * Np + 4 * Kp
+        # the kernel's f32 matmul accumulators (g at C1p, h at C2p/C3p)
+        # exist in EVERY dtype (preferred_element_type=f32) — same
+        # omission the r4 ADVICE fix corrected for v7
+        ohsz += 4 * (C1p + C2p + C3p) + dsz * C1p
         if dsz == 4:
-            ohsz += 16 * C1p + 4 * (C1p + C2p + 2 * C3p)
+            # fp32 additionally carries the 3-term bf16-split operands
+            ohsz += 12 * C1p + 4 * C3p
         stk_cap = max(8, (4 * 1024 * 1024) // max(ohsz, 1))
         st = min(Sp, max(8, stk_cap // nsample))
         while Sp % st:

@@ -24,34 +24,50 @@ r = np.random.RandomState(0)
 B, N, S, K, C1, C2, C3 = 24, 1024, 512, 32, 64, 64, 128
 xyz = jnp.asarray(r.randn(B, N, 3).astype(np.float32) * 0.5)
 new = G.index_points(xyz, G.farthest_point_sample(xyz, S))
-pre = jnp.asarray(r.randn(B, N, C1).astype(np.float32))
-cb = jnp.asarray(r.randn(B, S, C1).astype(np.float32))
-w1 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * .2)
-b1 = jnp.asarray(r.randn(C2).astype(np.float32))
-w2 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * .2)
-b2 = jnp.asarray(r.randn(C3).astype(np.float32))
+pre0 = jnp.asarray(r.randn(B, N, C1).astype(np.float32))
+cb0 = jnp.asarray(r.randn(B, S, C1).astype(np.float32))
+w10 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * .2)
+b10 = jnp.asarray(r.randn(C2).astype(np.float32))
+w20 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * .2)
+b20 = jnp.asarray(r.randn(C3).astype(np.float32))
 
-def unfused(p):
-    i = G.knn_point(K, xyz, new)
-    g = G.index_points(p, i)
-    h = jax.nn.relu(g + cb[:, :, None, :])
-    h = jax.nn.relu(h @ w1 + b1)
-    h = jax.nn.relu(h @ w2 + b2)
-    return p + 1e-9 * jnp.max(h, axis=2).mean()
+def make(dt):
+    # cast EVERY operand so the unfused bf16 baseline is honest (an f32
+    # cb would promote the grouped tensor + both matmuls back to f32)
+    cb, w1, b1, w2, b2 = (a.astype(dt) for a in (cb0, w10, b10, w20, b20))
 
-def fused(p):
-    i = G.knn_point(K, xyz, new)
-    o = pk.fused_sa_idx_pallas(K, i, p, cb, w1, b1, w2, b2)
-    return p + 1e-9 * o.mean()
+    def unfused(p):
+        i = G.knn_point(K, xyz, new)
+        g = G.index_points(p, i)
+        h = jax.nn.relu(g + cb[:, :, None, :])
+        h = jax.nn.relu(h @ w1 + b1)
+        h = jax.nn.relu(h @ w2 + b2)
+        return p + 1e-9 * jnp.max(h, axis=2).mean().astype(p.dtype)
 
-for name, fn in (("unfused", unfused), ("fused_idx", fused)):
-    for dt in (jnp.float32, jnp.bfloat16):
-        args = pre.astype(dt)
-        t = np.median([chain_time(jax.jit(fn), args) for _ in range(3)]) * 1e3
+    def fused(p):
+        i = G.knn_point(K, xyz, new)
+        o = pk.fused_sa_idx_pallas(K, i, p, cb, w1, b1, w2, b2)
+        return p + 1e-9 * o.mean().astype(p.dtype)
+
+    return unfused, fused
+
+for dt in (jnp.float32, jnp.bfloat16):
+    unfused, fused = make(dt)
+    pre_d = pre0.astype(dt)
+    for name, fn in (("unfused", unfused), ("fused_idx", fused)):
+        t = np.median([chain_time(jax.jit(fn), pre_d)
+                       for _ in range(3)]) * 1e3
         print(f"knn SA1-tail {name} {jnp.dtype(dt).name}: {t:.3f} ms")
 EOF
 
-# ---- r5: knn model serving smoke (auto now routes fused_sa_idx) ----
+# ---- r5: knn model serving smoke ----
+# --impl pallas: fp32-auto keeps the unfused path (_want_fused_sa), so
+# the fused_sa_idx routing inside the full model only executes under
+# explicit pallas (or bf16 serving) — this smoke must compile+run the
+# kernel on chip, not silently validate the unfused path
 timeout 900 python train.py --model pointnet2_cls_knn --epoch 1 --batch_size 16 \
-  --train_size 32 --test_size 16 --bn_momentum 0.5 --no_checkpoint \
-  --run_name r5_knn 2>&1 | grep final:
+  --train_size 32 --test_size 16 --bn_momentum 0.5 \
+  --impl pallas --run_name r5_knn 2>&1 | grep final:
+timeout 900 python test.py --model pointnet2_cls_knn \
+  --log_dir log/classification/r5_knn --test_size 16 --batch_size 16 \
+  --dtype bfloat16 2>&1 | tail -2

@@ -68,9 +68,9 @@ def parse_args(argv=None):
 
 def add_dataset_args(p):
     """--dataset/--data_root group shared by train.py and test.py."""
+    from mm3d_tpu.data.loaders import REAL_DATASETS
     p.add_argument("--dataset", default="synthetic",
-                   choices=["synthetic", "modelnet40", "shapenetpart",
-                            "s3dis", "multimodal"],
+                   choices=["synthetic", *REAL_DATASETS],
                    help="'synthetic' generates data in memory; the rest "
                         "read the canonical on-disk formats from "
                         "--data_root (SURVEY.md §2.2)")
