@@ -13,6 +13,18 @@ import os
 def enable_compilation_cache(path: str = None):
     import jax
 
+    if path is None:
+        try:
+            current = jax.config.jax_compilation_cache_dir
+        except AttributeError:  # pragma: no cover - very old jax
+            current = None
+        if current:
+            # already configured (e.g. tests/conftest points the whole
+            # suite at the CPU cache dir): keep it.  Re-pointing mid-
+            # process would split the cache across two dirs and turn
+            # every previously-cached executable into a miss (measured
+            # as CLI tests re-compiling graphs the suite already built)
+            return current
     path = path or os.environ.get(
         "MM3D_COMPILE_CACHE", os.path.expanduser("~/.cache/mm3d_jax_cache"))
     os.makedirs(path, exist_ok=True)

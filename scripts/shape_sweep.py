@@ -104,6 +104,50 @@ def main():
             print(f"FP N={N} M={M} C1={C1}: FAILED "
                   f"{type(e).__name__}: {str(e)[:140]}", flush=True)
             bad.append(("fp", N, M, C1))
+    # given-idx fused SA tail (kNN serving, r5) at the knn model's SA
+    # shapes: fp32 parity vs the unfused composition + bf16 compile/
+    # finiteness (the VMEM tile accounting is dtype-dependent)
+    IDX_SHAPES = [(1024, 512, 32, 64, 64, 128),
+                  (512, 128, 64, 128, 128, 256)]
+    for (N, S, K, C1, C2, C3) in IDX_SHAPES:
+        xyz = jnp.asarray(r.randn(2, N, 3).astype(np.float32) * 0.5)
+        new = G.index_points(
+            xyz, jax.jit(lambda p, S=S: pk.fps_pallas(p, S))(xyz))
+        idx = jax.jit(lambda a, b, K=K: G.knn_point(K, a, b))(xyz, new)
+        pre = jnp.asarray(r.randn(2, N, C1).astype(np.float32))
+        cb = jnp.asarray(r.randn(2, S, C1).astype(np.float32))
+        w1 = jnp.asarray(r.randn(C1, C2).astype(np.float32) * .2)
+        b1 = jnp.zeros(C2, jnp.float32)
+        w2 = jnp.asarray(r.randn(C2, C3).astype(np.float32) * .2)
+        b2 = jnp.zeros(C3, jnp.float32)
+        try:
+            def comp(p):
+                g = G.index_points(p, idx)
+                h = jax.nn.relu(g + cb[:, :, None, :])
+                h = jax.nn.relu(h @ w1 + b1)
+                h = jax.nn.relu(h @ w2 + b2)
+                return jnp.max(h, axis=2)
+            with jax.default_matmul_precision("highest"):
+                want = np.asarray(jax.jit(comp)(pre))
+            got = np.asarray(jax.jit(
+                lambda p, K=K: pk.fused_sa_idx_pallas(
+                    K, idx, p, cb, w1, b1, w2, b2))(pre))
+            ok = bool(np.allclose(got, want, rtol=1e-5, atol=1e-4))
+            outb = jax.jit(
+                lambda p, K=K: pk.fused_sa_idx_pallas(
+                    K, idx, p, cb.astype(jnp.bfloat16),
+                    w1.astype(jnp.bfloat16), b1.astype(jnp.bfloat16),
+                    w2.astype(jnp.bfloat16), b2.astype(jnp.bfloat16)))(
+                        pre.astype(jnp.bfloat16))
+            ok_b = bool(jnp.isfinite(outb.astype(jnp.float32)).all())
+            print(f"IDX N={N} S={S} K={K} C={C1}/{C2}/{C3}: "
+                  f"f32_match={ok} bf16_finite={ok_b}", flush=True)
+            if not (ok and ok_b):
+                bad.append(("idx", N, S, K))
+        except Exception as e:  # noqa: BLE001
+            print(f"IDX N={N} S={S} K={K}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+            bad.append(("idx", N, S, K))
     print("BAD:", bad if bad else "none — all shapes pass")
     sys.exit(1 if bad else 0)
 

@@ -26,24 +26,27 @@ def _write_s3dis(root, rooms=("Area_1_office.npy", "Area_5_office.npy"),
 
 
 def test_modelnet40_cli_roundtrip(tmp_path):
+    # shapes deliberately match test_classification_train_smoke
+    # (pointnet_cls, npoint 64, batch 8, num_class 4, default augs) so
+    # the jitted steps are persistent-cache hits, not fresh compiles
     import train as train_cli
     import test as test_cli
     data = tmp_path / "data"
     os.makedirs(data)
-    _write_modelnet(str(data))  # 2 classes, 4 train / 2 test shapes
+    _write_modelnet(str(data), classes=("a", "b", "c", "d"))  # 8 tr/4 te
     log = tmp_path / "log"
     res = train_cli.main([
-        "--model", "pointnet_cls", "--epoch", "1", "--batch_size", "4",
-        "--npoint", "32", "--num_class", "2",
+        "--model", "pointnet_cls", "--epoch", "1", "--batch_size", "8",
+        "--npoint", "64", "--num_class", "4",
         "--dataset", "modelnet40", "--data_root", str(data),
         "--log_dir", str(log), "--run_name", "mn"])
     assert "instance_acc" in res
     run_dir = os.path.join(str(log), "classification", "mn")
     ev = test_cli.main([
-        "--model", "pointnet_cls", "--log_dir", run_dir, "--npoint", "32",
-        "--num_class", "2", "--batch_size", "4",
+        "--model", "pointnet_cls", "--log_dir", run_dir, "--npoint", "64",
+        "--num_class", "4", "--batch_size", "8",
         "--dataset", "modelnet40", "--data_root", str(data)])
-    # the real test split has exactly 2 shapes; accuracy is over those
+    # the real test split has exactly 4 shapes; accuracy is over those
     assert 0.0 <= ev["instance_acc"] <= 1.0
 
 
@@ -66,6 +69,70 @@ def test_s3dis_cli_roundtrip(tmp_path):
         "--npoint", "128", "--batch_size", "4",
         "--dataset", "s3dis", "--data_root", str(data), "--test_area", "5"])
     assert 0.0 <= ev["miou"] <= 1.0
+
+
+def test_shapenetpart_and_multimodal_cli_mapping(tmp_path):
+    """The two remaining --dataset mappings, sample-contract level (no
+    training — the modelnet/s3dis roundtrips already cover the Trainer
+    plumbing; this keeps suite time flat)."""
+    import json
+    import train as train_cli
+
+    # shapenetpart fixture
+    sp = tmp_path / "sp"
+    os.makedirs(sp / "train_test_split")
+    rng = np.random.RandomState(11)
+    with open(sp / "synsetoffset2category.txt", "w") as f:
+        f.write("Airplane\t02691156\n")
+    os.makedirs(sp / "02691156")
+    files = []
+    for i in range(2):
+        files.append(f"shape_data/02691156/s{i}")
+        data = np.concatenate([rng.randn(40, 6),
+                               rng.randint(0, 4, (40, 1))], -1)
+        np.savetxt(sp / "02691156" / f"s{i}.txt", data, fmt="%.5f")
+    for split in ("train", "test"):
+        json.dump(files, open(
+            sp / "train_test_split" /
+            f"shuffled_{split}_file_list.json", "w"))
+
+    class A:  # minimal argparse-namespace stand-in
+        dataset = "shapenetpart"
+        data_root = str(sp)
+        normal = False
+        test_area = 5
+        uniform_sample = False
+    tr, te = train_cli.build_cli_datasets(A, "partseg", 64)
+    pts, cat, seg = tr[0]
+    assert pts.shape == (64, 3) and seg.shape == (64,) and cat == 0
+    assert len(te) == 2
+
+    # multimodal (fusion_cls base = modelnet) with per-split view dirs
+    mm = tmp_path / "mm"
+    os.makedirs(mm)
+    _write_modelnet(str(mm))
+    for split, n in (("train", 4), ("test", 2)):
+        vd = mm / f"views_{split}"
+        os.makedirs(vd)
+        for i in range(n):
+            np.savez(vd / f"{i}.npz",
+                     image=np.zeros((16, 16, 3), np.float32),
+                     K=np.eye(3, dtype=np.float32),
+                     R=np.eye(3, dtype=np.float32),
+                     t=np.zeros(3, np.float32))
+
+    class B(A):
+        dataset = "multimodal"
+        data_root = str(mm)
+    tr2, te2 = train_cli.build_cli_datasets(B, "fusion_cls", 32)
+    s = tr2[0]
+    assert set(s) >= {"points", "image", "K", "R", "t", "label"}
+    assert te2[0]["image"].shape == (16, 16, 3)
+
+    # test-only build skips the train split entirely
+    tr3, te3 = train_cli.build_cli_datasets(B, "fusion_cls", 32,
+                                            test_only=True)
+    assert tr3 is None and te3 is not None
 
 
 def test_dataset_task_mismatch_fails_early(tmp_path):
