@@ -202,3 +202,17 @@ def test_scene_eval_cli(tmp_path):
         "--npoint", "128", "--batch_size", "4", "--test_size", "4",
         "--scene", npz, "--block_size", "2.0", "--stride", "2.0"])
     assert {"coverage", "point_acc", "miou"} <= set(res2)
+    # bare-.npy [N,7] room (an S3DIS preprocessed room passed directly):
+    # xyz + 0-255 rgb + label column; same jitted predictor shapes as
+    # the npz leg, so this is cache-warm
+    npy = os.path.join(str(tmp_path), "room.npy")
+    np.save(npy, np.concatenate(
+        [xyz, (rgb * 255).astype(np.float32),
+         labels[:, None].astype(np.float32)], -1))
+    res3 = test_cli.main([
+        "--model", "pointnet_sem_seg", "--log_dir", run_dir,
+        "--npoint", "128", "--batch_size", "4", "--test_size", "4",
+        "--scene", npy, "--block_size", "2.0", "--stride", "2.0"])
+    assert {"coverage", "point_acc", "miou"} <= set(res3)
+    # labels came through the npy column: point_acc is a real number
+    assert 0.0 <= res3["point_acc"] <= 1.0
