@@ -102,6 +102,7 @@ def test_shapenetpart_and_multimodal_cli_mapping(tmp_path):
         normal = False
         test_area = 5
         uniform_sample = False
+        num_class = 2  # matches the modelnet fixture below
     tr, te = train_cli.build_cli_datasets(A, "partseg", 64)
     pts, cat, seg = tr[0]
     assert pts.shape == (64, 3) and seg.shape == (64,) and cat == 0
@@ -133,6 +134,13 @@ def test_shapenetpart_and_multimodal_cli_mapping(tmp_path):
     tr3, te3 = train_cli.build_cli_datasets(B, "fusion_cls", 32,
                                             test_only=True)
     assert tr3 is None and te3 is not None
+
+    # class-count guard: a tree/num_class mismatch is a clean error,
+    # not silently-clamped labels
+    class C(B):
+        num_class = 40
+    with pytest.raises(SystemExit, match="num_class"):
+        train_cli.build_cli_datasets(C, "fusion_cls", 32)
 
 
 def test_dataset_task_mismatch_fails_early(tmp_path):

@@ -95,10 +95,21 @@ def build_cli_datasets(a, task, npoint, test_only=False):
     if not a.data_root:
         raise SystemExit(f"--dataset {a.dataset} requires --data_root")
     from mm3d_tpu.data.loaders import build_real_datasets
-    return build_real_datasets(
+    train_ds, test_ds = build_real_datasets(
         a.dataset, a.data_root, task, npoints=npoint, normals=a.normal,
         test_area=a.test_area, uniform_sample=a.uniform_sample,
         splits=("test",) if test_only else ("train", "test"))
+    # class-count guard: a tree with more classes than --num_class
+    # would emit labels past the head and XLA's clamping gather turns
+    # that into silently-wrong metrics rather than an error
+    ds = train_ds if train_ds is not None else test_ds
+    base = getattr(ds, "base", ds)  # multimodal wraps the point set
+    classes = getattr(base, "classes", None)
+    if classes is not None and len(classes) != a.num_class:
+        raise SystemExit(
+            f"--data_root has {len(classes)} classes but --num_class is "
+            f"{a.num_class}; pass --num_class {len(classes)}")
+    return train_ds, test_ds
 
 
 def main(argv=None):
