@@ -179,10 +179,15 @@ class SetAbstraction(nn.Module):
         # point axis; trace-time static decision
         from mm3d_tpu.parallel.point_shard import current as _ps_current
         ps = _ps_current()
-        use_sharded = (ps is not None and not train and not self.knn
+        # kNN blocks shard too (r5) when every shard's tile holds >= K
+        # candidates (sharded_knn_point's local-top-K precondition)
+        _nsh = ps.mesh.shape[ps.axis] if ps is not None else 1
+        _knn_ok = (not self.knn
+                   or xyz.shape[1] // max(_nsh, 1) >= self.nsample)
+        use_sharded = (ps is not None and not train and _knn_ok
                        and len(self.mlp) == 3
                        and xyz.shape[1] >= ps.min_points
-                       and xyz.shape[1] % ps.mesh.shape[ps.axis] == 0)
+                       and xyz.shape[1] % _nsh == 0)
         if use_sharded:
             from mm3d_tpu.parallel.sharded_fps import sharded_fps
             # sharded_fps has no start_idx plumbing; safe because this
@@ -203,12 +208,22 @@ class SetAbstraction(nn.Module):
                 if len(self.mlp) > 1 else None)
 
         if use_sharded:
-            from mm3d_tpu.parallel.sharded_group import sharded_sa_group_max
+            from mm3d_tpu.parallel.sharded_group import (
+                sharded_idx_group_max, sharded_knn_point,
+                sharded_sa_group_max)
             A, C = bn(pre, use_running_average=True, fold=True)
             (w1, b1), (w2, b2) = rest(pre, fold=True)
-            out = sharded_sa_group_max(
-                self.radius, self.nsample, xyz, new_xyz, pre * A,
-                (bias - cterm) * A + C, w1, b1, w2, b2, ps.mesh, ps.axis)
+            if self.knn:
+                idx = sharded_knn_point(self.nsample, xyz, new_xyz,
+                                        ps.mesh, ps.axis)
+                out = sharded_idx_group_max(
+                    idx, pre * A, (bias - cterm) * A + C, w1, b1, w2,
+                    b2, ps.mesh, ps.axis)
+            else:
+                out = sharded_sa_group_max(
+                    self.radius, self.nsample, xyz, new_xyz, pre * A,
+                    (bias - cterm) * A + C, w1, b1, w2, b2,
+                    ps.mesh, ps.axis)
             return new_xyz, out
 
         fused = (dispatch.kernel_or_none("fused_sa")

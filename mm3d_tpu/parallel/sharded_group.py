@@ -185,6 +185,110 @@ def sharded_sa_group_max(radius: float, nsample: int, xyz: jax.Array,
     return fn(xyz, pre, new_xyz, cbias)
 
 
+def sharded_knn_point(nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+                      mesh: Mesh, axis: str = "data") -> jax.Array:
+    """kNN over a point-sharded cloud -> global indices [B,S,K], exact
+    vs ops.knn_point (ascending distance, ties toward the lowest global
+    index).
+
+    Each shard computes its local top-K (tile >= K asserted), the
+    K·n_shards candidates are all_gathered (payload S·K per shard —
+    independent of N), re-sorted into GLOBAL INDEX order, and the final
+    top-K re-selected: top_k picks the first occurrence among equal
+    values, so index-ordering the candidates reproduces the
+    single-device tie-break exactly.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    n_shards = mesh.shape[axis]
+    assert N % n_shards == 0, (N, n_shards)
+    assert N // n_shards >= nsample, (
+        f"tile {N // n_shards} < nsample {nsample}: kNN sharding needs "
+        "every shard to hold at least K candidates")
+
+    def local(xyz_tile, new_full):
+        tile = xyz_tile.shape[1]
+        shard = jax.lax.axis_index(axis)
+        base = shard * tile
+        cross = jnp.einsum("bsc,btc->bst", new_full, xyz_tile,
+                           precision=jax.lax.Precision.HIGHEST)
+        s2 = jnp.sum(new_full * new_full, axis=-1)[:, :, None]
+        t2 = jnp.sum(xyz_tile * xyz_tile, axis=-1)[:, None, :]
+        d2 = s2 - 2.0 * cross + t2  # [B,S,t]
+        negd, lane = jax.lax.top_k(-d2, nsample)  # local top-K
+        cand_d = -negd                              # [B,S,K]
+        cand_i = lane.astype(jnp.int32) + base
+        # [n_shards, B, S, K] -> [B, S, n_shards*K]
+        all_d = jnp.moveaxis(jax.lax.all_gather(cand_d, axis), 0, 2
+                             ).reshape(B, S, n_shards * nsample)
+        all_i = jnp.moveaxis(jax.lax.all_gather(cand_i, axis), 0, 2
+                             ).reshape(B, S, n_shards * nsample)
+        # index-order the candidate pool so top_k's first-occurrence
+        # tie-break matches the single-device scan order
+        order = jnp.argsort(all_i, axis=-1)
+        all_d = jnp.take_along_axis(all_d, order, axis=-1)
+        all_i = jnp.take_along_axis(all_i, order, axis=-1)
+        _, pick = jax.lax.top_k(-all_d, nsample)
+        out = jnp.take_along_axis(all_i, pick, axis=-1)
+        # every shard computed the identical result from the gathered
+        # pool; the pmax is a semantic no-op that makes the replication
+        # statically inferable for out_specs=P() (same pattern as the
+        # ball-query/SA-tail functions, which end in psum/pmax)
+        return jax.lax.pmax(out, axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None)),
+        out_specs=P(),
+    )
+    return fn(xyz, new_xyz)
+
+
+def sharded_idx_group_max(idx: jax.Array, pre: jax.Array,
+                          cbias: jax.Array, w1: jax.Array, b1: jax.Array,
+                          w2: jax.Array, b2: jax.Array, mesh: Mesh,
+                          axis: str = "data") -> jax.Array:
+    """Eval-mode SA tail over PRECOMPUTED global indices on a
+    point-sharded cloud -> [B, S, C3] (the SPMD twin of
+    ops.pallas_kernels.fused_sa_idx_pallas, serving the kNN variant
+    under --point_shard).
+
+    Every idx slot belongs to exactly one shard, so each device gathers
+    and MLPs only its own slots (masked -inf elsewhere) and one pmax of
+    the [B,S,C3] output merges shards — the same max-distributes
+    identity as sharded_sa_group_max, with none of the hit-count
+    machinery (kNN always returns K valid slots).
+    """
+    B, N, _ = pre.shape
+    S = idx.shape[1]
+    n_shards = mesh.shape[axis]
+    assert N % n_shards == 0, (N, n_shards)
+
+    def mlp(h):
+        h = jax.nn.relu(h)
+        h = jax.nn.relu(h @ w1 + b1)
+        return jax.nn.relu(h @ w2 + b2)
+
+    def local(pre_tile, idx_full, cb_full):
+        tile = pre_tile.shape[1]
+        base = jax.lax.axis_index(axis) * tile
+        mine = (idx_full >= base) & (idx_full < base + tile)  # [B,S,K]
+        lanes = jnp.clip(idx_full - base, 0, tile - 1)
+        g = jnp.take_along_axis(  # [B,S,K,C1] local gather
+            pre_tile[:, None, :, :], lanes[..., None], axis=2)
+        h = mlp(g + cb_full[:, :, None, :])
+        h = jnp.where(mine[..., None], h, -jnp.inf)
+        return jax.lax.pmax(jnp.max(h, axis=2), axis)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, None, None),
+                  P(None, None, None)),
+        out_specs=P(),
+    )
+    return fn(pre, idx, cbias)
+
+
 def sharded_fp(xyz1: jax.Array, xyz2: jax.Array, pre: jax.Array,
                skip: jax.Array, mesh: Mesh,
                axis: str = "data") -> jax.Array:
