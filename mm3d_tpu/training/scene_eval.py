@@ -122,6 +122,31 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
     return _finish(votes, labels, num_classes)
 
 
+def room_confusion(pred: np.ndarray, labels: np.ndarray,
+                   num_classes: int) -> np.ndarray:
+    """[C,C] confusion (rows = true) — host bincount; shared by the
+    single-room metrics and the whole-area aggregation (test.py --scene
+    on a directory), so the two can't drift."""
+    return np.bincount(
+        labels.astype(np.int64) * num_classes + pred,
+        minlength=num_classes * num_classes
+    ).reshape(num_classes, num_classes)
+
+
+def metrics_from_confusion(cm: np.ndarray) -> Dict[str, float]:
+    """point_acc + mIoU over classes present in labels or predictions
+    (the reference's whole-area convention)."""
+    inter = np.diag(cm).astype(np.float64)
+    union = cm.sum(0) + cm.sum(1) - np.diag(cm)
+    present = (cm.sum(1) > 0) | (cm.sum(0) > 0)
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    total = cm.sum()
+    return {
+        "point_acc": float(inter.sum() / max(total, 1)),
+        "miou": float(iou[present].mean()) if present.any() else 1.0,
+    }
+
+
 def _finish(votes, labels, num_classes):
     seen = votes.sum(-1) > 0
     pred = votes.argmax(-1).astype(np.int32)
@@ -134,18 +159,8 @@ def _finish(votes, labels, num_classes):
         # bincount — everything
         # is already numpy after the single D2H fetch, and eager device
         # ops through the tunnel cost 10-50x.
-        cm = np.bincount(
-            labels.astype(np.int64) * num_classes + pred,
-            minlength=num_classes * num_classes
-        ).reshape(num_classes, num_classes)
-        inter = np.diag(cm).astype(np.float64)
-        union = cm.sum(0) + cm.sum(1) - np.diag(cm)
-        present = (cm.sum(1) > 0) | (cm.sum(0) > 0)
-        iou = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        metrics.update({
-            "point_acc": float((pred == labels).mean()),
-            "miou": float(iou[present].mean()) if present.any() else 1.0,
-        })
+        metrics.update(metrics_from_confusion(
+            room_confusion(pred, labels, num_classes)))
     return pred, metrics
 
 

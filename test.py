@@ -42,13 +42,16 @@ def parse_args(argv=None):
                         "over all devices (blocks with >= MIN_N points; "
                         "0 = off).  SPMD sharded FPS + ball query + SA "
                         "tail, exact semantics — parallel/point_shard.py")
-    p.add_argument("--scene", default=None, metavar="PATH|synthetic",
+    p.add_argument("--scene", default=None, metavar="PATH|DIR|synthetic",
                    help="whole-scene room evaluation (the reference "
                         "test_semseg protocol; semseg/fusion_semseg "
                         "only): tile the room into overlapping blocks, "
                         "vote-accumulate per-point probabilities, report "
-                        "point_acc/mIoU/coverage.  PATH = .npz with "
-                        "xyz [N,3] (+ optional rgb [N,3], labels [N]); "
+                        "point_acc/mIoU/coverage.  PATH = one room as "
+                        ".npz (xyz [N,3] + optional rgb/labels) or .npy "
+                        "([N,3|6|7]); DIR = a directory of rooms (e.g. "
+                        "a preprocessed S3DIS test area) scored "
+                        "area-wide over the summed confusion matrix; "
                         "'synthetic' = a generated room")
     p.add_argument("--scene_points", type=int, default=20000,
                    help="synthetic room size (--scene synthetic)")
@@ -61,37 +64,46 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _load_room(path):
+    """One room from disk: .npz (xyz/rgb/labels keys) or bare .npy
+    ([N,3] xyz, [N,6] +rgb, [N,4|7] +label column — the preprocessed
+    S3DIS room layout)."""
+    d = np.load(path)
+    if hasattr(d, "files"):  # .npz
+        xyz = d["xyz"]
+        rgb = d["rgb"] if "rgb" in d.files else None
+        labels = d["labels"] if "labels" in d.files else None
+    else:
+        xyz, rgb, labels = d[:, :3], None, None
+        if d.shape[1] >= 6:
+            rgb = d[:, 3:6]
+        if d.shape[1] in (4, 7):
+            labels = d[:, -1].astype(np.int32)
+    return xyz, rgb, labels
+
+
 def _eval_scene(a, trainer, npoint):
     """test.py --scene: the reference's whole-room stitching protocol
-    from the CLI (VERDICT r3 item 4; SURVEY.md test_semseg row)."""
+    from the CLI (VERDICT r3 item 4; SURVEY.md test_semseg row).
+
+    --scene may also be a DIRECTORY of rooms (.npy/.npz — e.g. a
+    preprocessed S3DIS test area): every room is stitched and scored,
+    and the area-wide metrics aggregate over the summed confusion
+    matrix, matching the reference's whole-area protocol."""
     from mm3d_tpu.training import scene_eval
     from mm3d_tpu.training.steps import _split_variables
     if trainer.task not in ("semseg", "fusion_semseg"):
         raise SystemExit("--scene requires a semseg or fusion_semseg model")
-    if a.scene == "synthetic":
-        from mm3d_tpu.data.synthetic import synthetic_room
-        xyz, rgb, labels = synthetic_room(a.scene_points, seed=a.seed)
-    else:
-        d = np.load(a.scene)
-        if hasattr(d, "files"):  # .npz
-            xyz = d["xyz"]
-            rgb = d["rgb"] if "rgb" in d.files else None
-            labels = d["labels"] if "labels" in d.files else None
-        else:  # bare .npy: [N,3] xyz or [N,6] xyz+rgb (+1 label col)
-            xyz, rgb, labels = d[:, :3], None, None
-            if d.shape[1] >= 6:
-                rgb = d[:, 3:6]
-            if d.shape[1] in (4, 7):
-                labels = d[:, -1].astype(np.int32)
     model = trainer.eval_model
     variables = _split_variables(trainer.state)
-    common = dict(labels=labels, rgb=rgb, num_classes=13, npoints=npoint,
+    common = dict(num_classes=13, npoints=npoint,
                   block_size=a.block_size, stride=a.stride,
                   batch_size=a.batch_size, seed=a.seed)
     if trainer.task == "semseg":
         predict = jax.jit(lambda p: model.apply(variables, p,
                                                 train=False)[0])
-        _, metrics = scene_eval.evaluate_scene(predict, xyz, **common)
+        run = lambda xyz, rgb, labels: scene_eval.evaluate_scene(
+            predict, xyz, labels=labels, rgb=rgb, **common)
     else:
         predict = jax.jit(
             lambda p, i, k, r, t: model.apply(variables, p, i, k, r, t,
@@ -99,8 +111,40 @@ def _eval_scene(a, trainer, npoint):
         # render block views at the run's training resolution — the
         # default hw=(64,64) would mismatch checkpoints trained at
         # other image sizes (intrinsics scale with hw)
-        _, metrics = scene_eval.evaluate_scene_multimodal(
-            predict, xyz, hw=trainer.cfg.image_hw, **common)
+        run = lambda xyz, rgb, labels: scene_eval.evaluate_scene_multimodal(
+            predict, xyz, labels=labels, rgb=rgb,
+            hw=trainer.cfg.image_hw, **common)
+
+    if a.scene == "synthetic":
+        from mm3d_tpu.data.synthetic import synthetic_room
+        xyz, rgb, labels = synthetic_room(a.scene_points, seed=a.seed)
+        _, metrics = run(xyz, rgb, labels)
+        return metrics
+    if os.path.isdir(a.scene):
+        rooms = sorted(f for f in os.listdir(a.scene)
+                       if f.endswith((".npy", ".npz")))
+        if not rooms:
+            raise SystemExit(f"--scene {a.scene}: no .npy/.npz rooms")
+        cm = np.zeros((13, 13), np.int64)
+        cov_pts = total_pts = 0
+        labeled = True
+        for name in rooms:
+            xyz, rgb, labels = _load_room(os.path.join(a.scene, name))
+            pred, m = run(xyz, rgb, labels)
+            trainer.log.info("room %s (%d pts): %s", name, len(xyz), m)
+            cov_pts += m["coverage"] * len(xyz)
+            total_pts += len(xyz)
+            if labels is None:
+                labeled = False
+            else:
+                cm += scene_eval.room_confusion(pred, labels, 13)
+        out = {"rooms": len(rooms),
+               "coverage": cov_pts / max(total_pts, 1)}
+        if labeled:
+            out.update(scene_eval.metrics_from_confusion(cm))
+        return out
+    xyz, rgb, labels = _load_room(a.scene)
+    _, metrics = run(xyz, rgb, labels)
     return metrics
 
 

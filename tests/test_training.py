@@ -216,3 +216,21 @@ def test_scene_eval_cli(tmp_path):
     assert {"coverage", "point_acc", "miou"} <= set(res3)
     # labels came through the npy column: point_acc is a real number
     assert 0.0 <= res3["point_acc"] <= 1.0
+    # DIRECTORY of rooms (whole-test-area protocol): metrics aggregate
+    # over the summed confusion matrix (r5); same tiling shapes as the
+    # single-room legs, so the predictor compiles stay warm
+    area = os.path.join(str(tmp_path), "area")
+    os.makedirs(area)
+    xyz2, rgb2, labels2 = synthetic_room(900, seed=2)
+    np.savez(os.path.join(area, "room1.npz"),
+             xyz=xyz, rgb=rgb, labels=labels)
+    np.save(os.path.join(area, "room2.npy"), np.concatenate(
+        [xyz2, (rgb2 * 255).astype(np.float32),
+         labels2[:, None].astype(np.float32)], -1))
+    res4 = test_cli.main([
+        "--model", "pointnet_sem_seg", "--log_dir", run_dir,
+        "--npoint", "128", "--batch_size", "4", "--test_size", "4",
+        "--scene", area, "--block_size", "2.0", "--stride", "2.0"])
+    assert res4["rooms"] == 2
+    assert {"coverage", "point_acc", "miou"} <= set(res4)
+    assert 0.0 <= res4["miou"] <= 1.0
