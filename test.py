@@ -120,16 +120,28 @@ def _eval_scene(a, trainer, npoint):
         xyz, rgb, labels = synthetic_room(a.scene_points, seed=a.seed)
         _, metrics = run(xyz, rgb, labels)
         return metrics
-    if os.path.isdir(a.scene):
-        rooms = sorted(f for f in os.listdir(a.scene)
-                       if f.endswith((".npy", ".npz")))
+    scene_dir = a.scene
+    room_filter = lambda f: f.endswith((".npy", ".npz"))
+    if a.scene == "area":
+        # the reference test_semseg flow: score the HELD-OUT area's
+        # rooms from the dataset tree (--dataset s3dis --data_root X
+        # --test_area N); a bare directory would score train rooms too
+        if a.dataset != "s3dis" or not a.data_root:
+            raise SystemExit("--scene area requires --dataset s3dis "
+                             "and --data_root")
+        scene_dir = a.data_root
+        tag = f"Area_{a.test_area}"
+        room_filter = lambda f: f.endswith((".npy", ".npz")) and tag in f
+    if os.path.isdir(scene_dir):
+        rooms = sorted(filter(room_filter, os.listdir(scene_dir)))
         if not rooms:
-            raise SystemExit(f"--scene {a.scene}: no .npy/.npz rooms")
+            raise SystemExit(f"--scene {a.scene}: no matching rooms "
+                             f"in {scene_dir}")
         cm = np.zeros((13, 13), np.int64)
         cov_pts = total_pts = 0
         labeled = True
         for name in rooms:
-            xyz, rgb, labels = _load_room(os.path.join(a.scene, name))
+            xyz, rgb, labels = _load_room(os.path.join(scene_dir, name))
             pred, m = run(xyz, rgb, labels)
             trainer.log.info("room %s (%d pts): %s", name, len(xyz), m)
             cov_pts += m["coverage"] * len(xyz)

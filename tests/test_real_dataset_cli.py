@@ -69,6 +69,16 @@ def test_s3dis_cli_roundtrip(tmp_path):
         "--npoint", "128", "--batch_size", "4",
         "--dataset", "s3dis", "--data_root", str(data), "--test_area", "5"])
     assert 0.0 <= ev["miou"] <= 1.0
+    # --scene area: whole-test-area stitching straight from the tree —
+    # only the held-out Area_5 room is scored
+    ev2 = test_cli.main([
+        "--model", "pointnet_sem_seg", "--log_dir", run_dir,
+        "--npoint", "128", "--batch_size", "4",
+        "--dataset", "s3dis", "--data_root", str(data),
+        "--test_area", "5", "--scene", "area",
+        "--block_size", "4.0", "--stride", "4.0"])
+    assert ev2["rooms"] == 1
+    assert {"coverage", "point_acc", "miou"} <= set(ev2)
 
 
 def test_shapenetpart_and_multimodal_cli_mapping(tmp_path):
