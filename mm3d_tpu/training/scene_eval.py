@@ -108,17 +108,27 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
                    rgb: Optional[np.ndarray] = None,
                    num_classes: int = 13, npoints: int = 4096,
                    block_size: float = 1.0, stride: float = 0.5,
-                   batch_size: int = 8, seed: int = 0
+                   batch_size: int = 8, seed: int = 0,
+                   num_votes: int = 1
                    ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Predict per-point labels for a whole room.
 
     predict_fn: jitted (points [B, npoints, 9]) -> log_probs
     [B, npoints, C].  Returns (pred [N] int labels, metrics dict —
     empty unless `labels` given).
+
+    num_votes > 1 re-subsamples each block's npoints with a fresh seed
+    per vote and accumulates probabilities (the reference test_semseg's
+    --num_votes); the tiling grid is deterministic, so every vote
+    reuses the compiled predictor.
     """
-    feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
-    votes = _vote_loop(predict_fn, [feats], pidx, feats.shape[0],
-                       batch_size, len(xyz), num_classes)
+    votes = None
+    for v in range(num_votes):
+        feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride,
+                                 seed + v)
+        vv = _vote_loop(predict_fn, [feats], pidx, feats.shape[0],
+                        batch_size, len(xyz), num_classes)
+        votes = vv if votes is None else votes + vv
     return _finish(votes, labels, num_classes)
 
 
@@ -198,17 +208,23 @@ def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
                               num_classes: int = 13, npoints: int = 2048,
                               hw=(64, 64), block_size: float = 1.0,
                               stride: float = 0.5, batch_size: int = 8,
-                              seed: int = 0
+                              seed: int = 0, num_votes: int = 1
                               ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Whole-room protocol for the multimodal per-point model (config 5):
     same tiling/vote accumulation as `evaluate_scene`, with a rendered
     camera view per block fed to the fusion branch.
 
     predict_fn: jitted (points [B,npoints,9], image [B,H,W,3], K, R, t)
-    -> log_probs [B,npoints,C].
+    -> log_probs [B,npoints,C].  num_votes as in evaluate_scene (the
+    per-vote seed also re-renders the block views from fresh
+    viewpoints, adding view diversity to the ensemble).
     """
-    feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride, seed)
-    imgs, Kin, Rm, tm = render_block_views(feats, hw, seed)
-    votes = _vote_loop(predict_fn, [feats, imgs, Kin, Rm, tm], pidx,
-                       feats.shape[0], batch_size, len(xyz), num_classes)
+    votes = None
+    for v in range(num_votes):
+        feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride,
+                                 seed + v)
+        imgs, Kin, Rm, tm = render_block_views(feats, hw, seed + v)
+        vv = _vote_loop(predict_fn, [feats, imgs, Kin, Rm, tm], pidx,
+                        feats.shape[0], batch_size, len(xyz), num_classes)
+        votes = vv if votes is None else votes + vv
     return _finish(votes, labels, num_classes)

@@ -98,7 +98,8 @@ def _eval_scene(a, trainer, npoint):
     variables = _split_variables(trainer.state)
     common = dict(num_classes=13, npoints=npoint,
                   block_size=a.block_size, stride=a.stride,
-                  batch_size=a.batch_size, seed=a.seed)
+                  batch_size=a.batch_size, seed=a.seed,
+                  num_votes=a.num_votes)
     if trainer.task == "semseg":
         predict = jax.jit(lambda p: model.apply(variables, p,
                                                 train=False)[0])

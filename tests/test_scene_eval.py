@@ -49,6 +49,28 @@ def test_evaluate_scene_with_oracle_predictor():
     assert pred.shape == (len(xyz),)
 
 
+def test_evaluate_scene_num_votes():
+    """num_votes re-subsamples each block per vote (the reference
+    test_semseg --num_votes): deterministic, coverage can only grow,
+    and a perfect predictor stays perfect under the ensemble."""
+    xyz, rgb, labels = _room()
+
+    @jax.jit
+    def predict(points):
+        z = points[..., 8] * 3.0
+        hot = jax.nn.one_hot((z > 1.5).astype(jnp.int32), 13)
+        return jnp.log(hot * 0.98 + 0.01)
+
+    kw = dict(labels=labels, rgb=rgb, num_classes=13, npoints=512,
+              block_size=2.0, stride=1.0, batch_size=4)
+    _, m1 = scene_eval.evaluate_scene(predict, xyz, **kw)
+    p3, m3 = scene_eval.evaluate_scene(predict, xyz, num_votes=3, **kw)
+    p3b, _ = scene_eval.evaluate_scene(predict, xyz, num_votes=3, **kw)
+    np.testing.assert_array_equal(p3, p3b)  # deterministic
+    assert m3["coverage"] >= m1["coverage"] - 1e-9
+    assert m3["point_acc"] > 0.99
+
+
 def test_evaluate_scene_with_real_model():
     from mm3d_tpu.models import get_model
     xyz, rgb, labels = _room(n=1500)
