@@ -116,7 +116,6 @@ def test_sharded_fp_matches_single_device():
 
 @pytest.mark.parametrize("n_dev,B,N,S,K", [
     (8, 2, 512, 64, 16),
-    (4, 1, 256, 32, 8),
     (8, 2, 512, 64, 64),   # K == tile size (the sharding boundary)
 ])
 def test_sharded_knn_exact(n_dev, B, N, S, K):
@@ -148,7 +147,6 @@ def test_sharded_knn_tie_break():
 
 @pytest.mark.parametrize("n_dev,B,N,S,K", [
     (8, 2, 512, 64, 16),
-    (4, 1, 256, 32, 8),
 ])
 def test_sharded_idx_tail_matches_single_device(n_dev, B, N, S, K):
     from mm3d_tpu.parallel.sharded_group import (sharded_idx_group_max,
