@@ -187,6 +187,14 @@ class ShapeNetPartDataset(_EpochSeeded):
 
 
 
+def s3dis_room_in_area(fname: str, area: int) -> bool:
+    """Delimited-prefix area match for S3DIS room filenames — a plain
+    substring test makes Area_1 also match Area_10/Area_11 rooms
+    (code-review r5); shared by the training loader and test.py's
+    --scene area so the two can't drift."""
+    return os.path.basename(fname).startswith(f"Area_{area}_")
+
+
 def semseg_block_features(bxyz: np.ndarray, brgb: np.ndarray,
                           room_min: np.ndarray,
                           room_extent: np.ndarray) -> np.ndarray:
@@ -217,11 +225,11 @@ class S3DISDataset(_EpochSeeded):
         self.num_classes = num_classes
         self.samples_per_room = samples_per_room
         rooms = sorted(f for f in os.listdir(root) if f.endswith(".npy"))
-        area = f"Area_{test_area}"
         if split == "train":
-            rooms = [r for r in rooms if area not in r]
+            rooms = [r for r in rooms
+                     if not s3dis_room_in_area(r, test_area)]
         else:
-            rooms = [r for r in rooms if area in r]
+            rooms = [r for r in rooms if s3dis_room_in_area(r, test_area)]
         if not rooms:
             raise FileNotFoundError(f"no rooms for split {split} in {root}")
         self.rooms = [os.path.join(root, r) for r in rooms]

@@ -169,8 +169,11 @@ def _finish(votes, labels, num_classes):
         # bincount — everything
         # is already numpy after the single D2H fetch, and eager device
         # ops through the tunnel cost 10-50x.
-        metrics.update(metrics_from_confusion(
-            room_confusion(pred, labels, num_classes)))
+        cm = room_confusion(pred, labels, num_classes)
+        metrics.update(metrics_from_confusion(cm))
+        # stashed for whole-area aggregation (test.py --scene DIR): the
+        # O(N) host bincount runs once, not once per consumer
+        metrics["_cm"] = cm
     return pred, metrics
 
 

@@ -77,8 +77,14 @@ def _load_room(path):
         xyz, rgb, labels = d[:, :3], None, None
         if d.shape[1] >= 6:
             rgb = d[:, 3:6]
-        if d.shape[1] in (4, 7):
-            labels = d[:, -1].astype(np.int32)
+        if d.shape[1] == 4:
+            labels = d[:, 3].astype(np.int32)
+        elif d.shape[1] >= 7:
+            # [N,7] = xyz rgb label; [N,8+] = xyz rgb label instance...
+            # — the semantic label is column 6 in every preprocessed
+            # S3DIS layout (a `in (4, 7)` test silently dropped labels
+            # for 8-column rooms; code-review r5)
+            labels = d[:, 6].astype(np.int32)
     return xyz, rgb, labels
 
 
@@ -120,19 +126,23 @@ def _eval_scene(a, trainer, npoint):
         from mm3d_tpu.data.synthetic import synthetic_room
         xyz, rgb, labels = synthetic_room(a.scene_points, seed=a.seed)
         _, metrics = run(xyz, rgb, labels)
+        metrics.pop("_cm", None)
         return metrics
     scene_dir = a.scene
     room_filter = lambda f: f.endswith((".npy", ".npz"))
-    if a.scene == "area":
+    # the 'area' KEYWORD only applies when no file/dir of that name
+    # exists — a real directory called ./area stays reachable
+    if a.scene == "area" and not os.path.exists(a.scene):
         # the reference test_semseg flow: score the HELD-OUT area's
         # rooms from the dataset tree (--dataset s3dis --data_root X
         # --test_area N); a bare directory would score train rooms too
         if a.dataset != "s3dis" or not a.data_root:
             raise SystemExit("--scene area requires --dataset s3dis "
                              "and --data_root")
+        from mm3d_tpu.data.loaders import s3dis_room_in_area
         scene_dir = a.data_root
-        tag = f"Area_{a.test_area}"
-        room_filter = lambda f: f.endswith((".npy", ".npz")) and tag in f
+        room_filter = (lambda f: f.endswith((".npy", ".npz"))
+                       and s3dis_room_in_area(f, a.test_area))
     if os.path.isdir(scene_dir):
         rooms = sorted(filter(room_filter, os.listdir(scene_dir)))
         if not rooms:
@@ -144,13 +154,14 @@ def _eval_scene(a, trainer, npoint):
         for name in rooms:
             xyz, rgb, labels = _load_room(os.path.join(scene_dir, name))
             pred, m = run(xyz, rgb, labels)
+            room_cm = m.pop("_cm", None)
             trainer.log.info("room %s (%d pts): %s", name, len(xyz), m)
             cov_pts += m["coverage"] * len(xyz)
             total_pts += len(xyz)
-            if labels is None:
+            if room_cm is None:
                 labeled = False
             else:
-                cm += scene_eval.room_confusion(pred, labels, 13)
+                cm += room_cm
         out = {"rooms": len(rooms),
                "coverage": cov_pts / max(total_pts, 1)}
         if labeled:
@@ -158,6 +169,7 @@ def _eval_scene(a, trainer, npoint):
         return out
     xyz, rgb, labels = _load_room(a.scene)
     _, metrics = run(xyz, rgb, labels)
+    metrics.pop("_cm", None)
     return metrics
 
 

@@ -143,3 +143,23 @@ def test_visualizer_renders_png(tmp_path):
     assert img.min() >= 0 and img.max() <= 1.0 + 1e-6
     # something was actually drawn (not all background)
     assert (img != 1.0).any()
+
+
+def test_s3dis_area_match_is_delimited(tmp_path):
+    """Area_1 must not swallow Area_10 rooms (substring-match bug,
+    code-review r5) — shared by the loader split and test.py --scene
+    area."""
+    rng = np.random.RandomState(5)
+    for name in ("Area_1_office.npy", "Area_10_office.npy"):
+        data = np.concatenate([rng.rand(64, 3) * 4,
+                               rng.randint(0, 255, (64, 3)),
+                               rng.randint(0, 13, (64, 1))], -1)
+        np.save(tmp_path / name, data)
+    assert loaders.s3dis_room_in_area("Area_1_office.npy", 1)
+    assert not loaders.s3dis_room_in_area("Area_10_office.npy", 1)
+    te = loaders.S3DISDataset(str(tmp_path), "test", npoints=32,
+                              test_area=1, samples_per_room=1)
+    tr = loaders.S3DISDataset(str(tmp_path), "train", npoints=32,
+                              test_area=1, samples_per_room=1)
+    assert len(te.rooms) == 1 and "Area_1_office" in te.rooms[0]
+    assert len(tr.rooms) == 1 and "Area_10_office" in tr.rooms[0]

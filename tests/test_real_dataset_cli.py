@@ -145,12 +145,18 @@ def test_shapenetpart_and_multimodal_cli_mapping(tmp_path):
                                             test_only=True)
     assert tr3 is None and te3 is not None
 
-    # class-count guard: a tree/num_class mismatch is a clean error,
-    # not silently-clamped labels
+    # class-count guard: MORE tree classes than the head is a clean
+    # error (labels past the head would be silently clamped); fewer is
+    # legitimate (subset tree under a bigger checkpoint) and only notes
     class C(B):
-        num_class = 40
+        num_class = 1
     with pytest.raises(SystemExit, match="num_class"):
         train_cli.build_cli_datasets(C, "fusion_cls", 32)
+
+    class D(B):
+        num_class = 40
+    tr4, _ = train_cli.build_cli_datasets(D, "fusion_cls", 32)
+    assert tr4 is not None  # no error for the subset-tree case
 
 
 def test_dataset_task_mismatch_fails_early(tmp_path):

@@ -99,16 +99,21 @@ def build_cli_datasets(a, task, npoint, test_only=False):
         a.dataset, a.data_root, task, npoints=npoint, normals=a.normal,
         test_area=a.test_area, uniform_sample=a.uniform_sample,
         splits=("test",) if test_only else ("train", "test"))
-    # class-count guard: a tree with more classes than --num_class
+    # class-count guard: a tree with MORE classes than --num_class
     # would emit labels past the head and XLA's clamping gather turns
-    # that into silently-wrong metrics rather than an error
+    # that into silently-wrong metrics rather than an error.  Fewer
+    # classes than the head is legitimate (e.g. evaluating a 40-class
+    # checkpoint on a subset tree) — warn, don't block.
     ds = train_ds if train_ds is not None else test_ds
     base = getattr(ds, "base", ds)  # multimodal wraps the point set
     classes = getattr(base, "classes", None)
-    if classes is not None and len(classes) != a.num_class:
+    if classes is not None and len(classes) > a.num_class:
         raise SystemExit(
             f"--data_root has {len(classes)} classes but --num_class is "
             f"{a.num_class}; pass --num_class {len(classes)}")
+    if classes is not None and len(classes) < a.num_class:
+        print(f"[mm3d] note: tree has {len(classes)} classes, head has "
+              f"{a.num_class} (extra logits unused)")
     return train_ds, test_ds
 
 
