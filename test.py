@@ -37,6 +37,10 @@ def parse_args(argv=None):
                    help="geometry-op implementation")
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--torch_ckpt", default=None, metavar="PATH",
+                   help="evaluate a lineage PyTorch .pth checkpoint "
+                        "(canonical state_dict layout) instead of the "
+                        "run dir's orbax checkpoints")
     p.add_argument("--point_shard", type=int, default=0, metavar="MIN_N",
                    help="shard the point axis of big-N eval SA blocks "
                         "over all devices (blocks with >= MIN_N points; "
@@ -192,23 +196,29 @@ def main(argv=None):
                                     a.npoint or spec.default_npoint,
                                     test_only=True)
     trainer = Trainer(cfg, test_ds=test_ds)
-    # restore from the given run dir
-    from mm3d_tpu.utils.checkpoint import CheckpointManager
-    best_metric = {"classification": "instance_acc",
-                   "partseg": "instance_miou", "semseg": "miou",
-                   "fusion_cls": "instance_acc",
-                   "fusion_semseg": "miou"}[trainer.task]
-    # best_metric must be passed or orbax's best_step() silently
-    # degrades to latest_step() (no best_fn -> no best tracking)
-    ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"),
-                             best_metric=best_metric)
-    step = ckpt.best_step()
-    if step is None:
-        step = ckpt.latest_step()
-    from mm3d_tpu.parallel import replicated_sharding
-    trainer.state = ckpt.restore(
-        trainer.state, step, sharding=replicated_sharding(trainer.mesh))
-    trainer.log.info("restored checkpoint step %s from %s", step, a.log_dir)
+    if a.torch_ckpt:
+        # migrated lineage .pth instead of an orbax run dir
+        from train import load_torch_into_trainer
+        load_torch_into_trainer(trainer, a.torch_ckpt)
+    else:
+        # restore from the given run dir
+        from mm3d_tpu.utils.checkpoint import CheckpointManager
+        best_metric = {"classification": "instance_acc",
+                       "partseg": "instance_miou", "semseg": "miou",
+                       "fusion_cls": "instance_acc",
+                       "fusion_semseg": "miou"}[trainer.task]
+        # best_metric must be passed or orbax's best_step() silently
+        # degrades to latest_step() (no best_fn -> no best tracking)
+        ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"),
+                                 best_metric=best_metric)
+        step = ckpt.best_step()
+        if step is None:
+            step = ckpt.latest_step()
+        from mm3d_tpu.parallel import replicated_sharding
+        trainer.state = ckpt.restore(
+            trainer.state, step, sharding=replicated_sharding(trainer.mesh))
+        trainer.log.info("restored checkpoint step %s from %s",
+                         step, a.log_dir)
 
     import contextlib
     shard_ctx = contextlib.nullcontext()

@@ -40,6 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--train_size", type=int, default=512)
     p.add_argument("--test_size", type=int, default=128)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--torch_ckpt", default=None, metavar="PATH",
+                   help="initialize weights from a lineage PyTorch .pth "
+                        "checkpoint (canonical state_dict layout; see "
+                        "mm3d_tpu.utils.torch_import) before training")
     p.add_argument("--no_checkpoint", action="store_true")
     p.add_argument("--bn_momentum", type=float, default=0.1,
                    help="initial BN running-stat momentum (the schedule "
@@ -117,8 +121,28 @@ def build_cli_datasets(a, task, npoint, test_only=False):
     return train_ds, test_ds
 
 
+def load_torch_into_trainer(trainer, path):
+    """Replace the trainer's params/batch_stats with a lineage ``.pth``
+    (canonical torch state_dict), replicated over the trainer's mesh.
+    Shared by train.py (fine-tune migrated weights) and test.py
+    (evaluate a migrated checkpoint directly)."""
+    import jax
+    from mm3d_tpu.parallel import replicated_sharding
+    from mm3d_tpu.training.steps import _split_variables
+    from mm3d_tpu.utils.torch_import import load_torch_checkpoint
+    v = load_torch_checkpoint(trainer.cfg.model,
+                              _split_variables(trainer.state), path)
+    v = jax.device_put(v, replicated_sharding(trainer.mesh))
+    trainer.state = trainer.state.replace(
+        params=v["params"], batch_stats=v["batch_stats"])
+    trainer.log.info("imported lineage torch checkpoint %s", path)
+
+
 def main(argv=None):
     a = parse_args(argv)
+    if a.torch_ckpt and a.resume:
+        raise SystemExit("--torch_ckpt and --resume are mutually "
+                         "exclusive (one set of weights must win)")
     from mm3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     from mm3d_tpu import ops
@@ -140,6 +164,8 @@ def main(argv=None):
     train_ds, test_ds = build_cli_datasets(a, spec.task,
                                            a.npoint or spec.default_npoint)
     trainer = Trainer(cfg, train_ds=train_ds, test_ds=test_ds)
+    if a.torch_ckpt:
+        load_torch_into_trainer(trainer, a.torch_ckpt)
     result = trainer.fit()
     trainer.log.info("final: %s", result)
     return result
