@@ -24,7 +24,16 @@ Layout notes (the same correspondences the oracle parity tests pin):
 
 The multimodal fusion models (configs 4-5) are reference-specific —
 there is no public lineage ``.pth`` layout to map, so they are not
-listed here.
+listed here.  ``pointnet_part_seg`` is likewise unmapped: our variant
+feeds the head [global+label; mlp1_out; transformed; mlp2_out; conv3]
+while the lineage concatenates the conv1/conv2 intermediates instead of
+the transformed features — the skip sets differ, so no channel
+permutation of a lineage checkpoint reproduces our head input.
+
+Where both frameworks concatenate the same features in a different
+order (the plain semseg encoder output: ours [point; global], lineage
+[global; point]) the affected head layer's input channels are permuted
+in transit (`_SEMSEG_HEAD_PERM`).
 """
 
 from __future__ import annotations
@@ -66,16 +75,23 @@ class _Walker:
     def __init__(self, params, stats, sd, mode):
         self.p, self.s, self.sd, self.mode = params, stats, sd, mode
 
-    # conv/linear weight <-> dense kernel
-    def dense(self, ckey, fpath, kind):
+    # conv/linear weight <-> dense kernel.  `perm` reorders INPUT
+    # channels (our row i <- canonical row perm[i]) where the two
+    # frameworks concatenate the same features in a different order.
+    def dense(self, ckey, fpath, kind, perm=None):
         trail = {"conv2": (1, 1), "conv1": (1,), "linear": ()}[kind]
         if self.mode == "import":
             w = _np(self.sd[f"{ckey}.weight"])
             w = w.reshape(w.shape[0], w.shape[1])  # drop 1x1 spatial
-            _set(self.p, fpath + ("kernel",), w.T)
+            k = w.T
+            if perm is not None:
+                k = k[perm]
+            _set(self.p, fpath + ("kernel",), k)
             _set(self.p, fpath + ("bias",), _np(self.sd[f"{ckey}.bias"]))
         else:
             k = np.asarray(_get(self.p, fpath + ("kernel",)))
+            if perm is not None:
+                k = k[np.argsort(perm)]
             self.sd[f"{ckey}.weight"] = k.T.reshape(k.shape[1], k.shape[0],
                                                     *trail)
             self.sd[f"{ckey}.bias"] = np.asarray(
@@ -236,7 +252,21 @@ def _walk_pointnet2_part_seg_msg(w: _Walker):
     w.dense("conv2", ("head_out",), "conv1")
 
 
-def _walk_pointnet_cls(w: _Walker):
+def _walk_pointnet2_sem_seg_msg(w: _Walker):
+    """Canonical pointnet2_sem_seg_msg: identical stage/mlp structure
+    to ours (4x two-scale MSG SA + 4 FP + conv1/bn1/conv2 head)."""
+    for name in ("sa1", "sa2", "sa3", "sa4"):
+        w.sa_msg(name, name, [3, 3])
+    for name, n in (("fp4", 2), ("fp3", 2), ("fp2", 2), ("fp1", 3)):
+        w.sa_proj(name, name, n, kind="conv1")
+    w.dense("conv1", ("head_mlp", "dense_0"), "conv1")
+    w.bn("bn1", ("head_mlp", "bn_0"))
+    w.dense("conv2", ("head_out",), "conv1")
+
+
+def _walk_encoder(w: _Walker):
+    """Canonical PointNetEncoder (``feat.*``) -> our encoder subtree.
+    Shared by pointnet_cls (global_feat) and pointnet_sem_seg."""
     w.stn("feat.stn", "stn")
     w.stn("feat.fstn", "fstn")
     w.dense("feat.conv1", ("mlp1", "dense_0"), "conv1")
@@ -253,15 +283,39 @@ def _walk_pointnet_cls_top(w: _Walker):
     w.dense("fc3", ("fc3",), "linear")
 
 
+# canonical pointnet_sem_seg's conv1 consumes the encoder output as
+# cat([global(1024), point(64)]); our encoder emits cat([point(64),
+# global(1024)]) -- permute the head's input channels accordingly
+_SEMSEG_HEAD_PERM = np.concatenate(
+    [np.arange(64) + 1024, np.arange(1024)])
+
+
+def _walk_pointnet_sem_seg_head(w: _Walker):
+    w.dense("conv1", ("head_mlp", "dense_0"), "conv1",
+            perm=_SEMSEG_HEAD_PERM)
+    w.bn("bn1", ("head_mlp", "bn_0"))
+    w.dense("conv2", ("head_mlp", "dense_1"), "conv1")
+    w.bn("bn2", ("head_mlp", "bn_1"))
+    w.dense("conv3", ("head_mlp", "dense_2"), "conv1")
+    w.bn("bn3", ("head_mlp", "bn_2"))
+    w.dense("conv4", ("head_out",), "conv1")
+
+
 _WALKS = {
     "pointnet2_cls_ssg": _walk_pointnet2_cls_ssg,
+    # the kNN bonus variant shares the SSG parameter tree: a lineage
+    # SSG .pth loads straight into it (grouping is weight-free)
+    "pointnet2_cls_knn": _walk_pointnet2_cls_ssg,
     "pointnet2_cls_msg": _walk_pointnet2_cls_msg,
     "pointnet2_sem_seg": _walk_pointnet2_sem_seg,
+    "pointnet2_sem_seg_msg": _walk_pointnet2_sem_seg_msg,
     "pointnet2_part_seg_ssg": _walk_pointnet2_part_seg_ssg,
     "pointnet2_part_seg_msg": _walk_pointnet2_part_seg_msg,
 }
 
-SUPPORTED = tuple(_WALKS) + ("pointnet_cls",)
+_ENCODER_MODELS = ("pointnet_cls", "pointnet_sem_seg")
+
+SUPPORTED = tuple(_WALKS) + _ENCODER_MODELS
 
 
 def _run(model_name, variables, sd, mode):
@@ -269,19 +323,24 @@ def _run(model_name, variables, sd, mode):
 
     params = copy.deepcopy(_to_plain(variables["params"]))
     stats = copy.deepcopy(_to_plain(variables.get("batch_stats", {})))
-    if model_name == "pointnet_cls":
+    if model_name in _ENCODER_MODELS:
         # the encoder lives under params["feat"] in our tree
         w_feat = _Walker(params["feat"], stats["feat"], sd, mode)
-        _walk_pointnet_cls(w_feat)
+        _walk_encoder(w_feat)
         w_top = _Walker(params, stats, sd, mode)
-        _walk_pointnet_cls_top(w_top)
+        if model_name == "pointnet_cls":
+            _walk_pointnet_cls_top(w_top)
+        else:
+            _walk_pointnet_sem_seg_head(w_top)
     elif model_name in _WALKS:
         _WALKS[model_name](_Walker(params, stats, sd, mode))
     else:
         raise ValueError(
             f"no canonical torch layout for {model_name!r} "
             f"(supported: {SUPPORTED}; the fusion configs are "
-            "reference-specific and have no public .pth layout)")
+            "reference-specific, and pointnet_part_seg's skip-concat "
+            "set deliberately differs from the lineage's — no public "
+            ".pth layout maps onto them)")
     return {"params": params, "batch_stats": stats}
 
 

@@ -212,6 +212,108 @@ class CanonPartSegSSG(nn.Module):
         return F.log_softmax(self.conv2(h).permute(0, 2, 1), dim=-1)
 
 
+class CanonSTN(nn.Module):
+    """Lineage STN3d/STNkd: conv1-3/bn1-3 + fc1-3/bn4-5, + identity."""
+
+    def __init__(self, channel, k):
+        super().__init__()
+        self.k = k
+        self.conv1 = nn.Conv1d(channel, 64, 1)
+        self.conv2 = nn.Conv1d(64, 128, 1)
+        self.conv3 = nn.Conv1d(128, 1024, 1)
+        self.fc1 = nn.Linear(1024, 512)
+        self.fc2 = nn.Linear(512, 256)
+        self.fc3 = nn.Linear(256, k * k)
+        self.bn1 = nn.BatchNorm1d(64)
+        self.bn2 = nn.BatchNorm1d(128)
+        self.bn3 = nn.BatchNorm1d(1024)
+        self.bn4 = nn.BatchNorm1d(512)
+        self.bn5 = nn.BatchNorm1d(256)
+
+    def forward(self, x):  # [B, C, N]
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = F.relu(self.bn3(self.conv3(h)))
+        h = torch.max(h, 2)[0]
+        h = F.relu(self.bn4(self.fc1(h)))
+        h = F.relu(self.bn5(self.fc2(h)))
+        return self.fc3(h).view(-1, self.k, self.k) + torch.eye(self.k)
+
+
+class CanonEncoder(nn.Module):
+    """Lineage PointNetEncoder (feat.*): STN-aligned conv1-3 trunk.
+    global_feat=False emits cat([global, point], 1) — GLOBAL FIRST,
+    the opposite order from our encoder (torch_import permutes)."""
+
+    def __init__(self, global_feat, feature_transform, channel):
+        super().__init__()
+        self.global_feat = global_feat
+        self.feature_transform = feature_transform
+        self.stn = CanonSTN(channel, 3)
+        self.conv1 = nn.Conv1d(channel, 64, 1)
+        self.conv2 = nn.Conv1d(64, 128, 1)
+        self.conv3 = nn.Conv1d(128, 1024, 1)
+        self.bn1 = nn.BatchNorm1d(64)
+        self.bn2 = nn.BatchNorm1d(128)
+        self.bn3 = nn.BatchNorm1d(1024)
+        if feature_transform:
+            self.fstn = CanonSTN(64, 64)
+
+    def forward(self, x):  # [B, N, C] at the boundary
+        B, N, C = x.shape
+        t = self.stn(x.permute(0, 2, 1))
+        xyz = torch.bmm(x[..., :3], t)
+        x = torch.cat([xyz, x[..., 3:]], -1) if C > 3 else xyz
+        h = F.relu(self.bn1(self.conv1(x.permute(0, 2, 1))))
+        if self.feature_transform:
+            tf = self.fstn(h)
+            h = torch.bmm(h.permute(0, 2, 1), tf).permute(0, 2, 1)
+        point_feat = h
+        h = self.bn3(self.conv3(F.relu(self.bn2(self.conv2(h)))))
+        gf = torch.max(h, 2)[0]
+        if self.global_feat:
+            return gf
+        tiled = gf.unsqueeze(2).expand(B, 1024, N)
+        return torch.cat([tiled, point_feat], 1)
+
+
+class CanonPointNetCls(nn.Module):
+    def __init__(self, num_class):
+        super().__init__()
+        self.feat = CanonEncoder(True, True, 3)
+        self.fc1 = nn.Linear(1024, 512)
+        self.bn1 = nn.BatchNorm1d(512)
+        self.fc2 = nn.Linear(512, 256)
+        self.bn2 = nn.BatchNorm1d(256)
+        self.fc3 = nn.Linear(256, num_class)
+
+    def forward(self, points):
+        h = self.feat(points)
+        h = F.relu(self.bn1(self.fc1(h)))
+        h = F.relu(self.bn2(self.fc2(h)))  # dropout = identity in eval
+        return F.log_softmax(self.fc3(h), dim=-1)
+
+
+class CanonPointNetSemSeg(nn.Module):
+    def __init__(self, num_class, channel=9):
+        super().__init__()
+        self.feat = CanonEncoder(False, True, channel)
+        self.conv1 = nn.Conv1d(1088, 512, 1)
+        self.conv2 = nn.Conv1d(512, 256, 1)
+        self.conv3 = nn.Conv1d(256, 128, 1)
+        self.conv4 = nn.Conv1d(128, num_class, 1)
+        self.bn1 = nn.BatchNorm1d(512)
+        self.bn2 = nn.BatchNorm1d(256)
+        self.bn3 = nn.BatchNorm1d(128)
+
+    def forward(self, points):
+        h = self.feat(points)  # [B, 1088, N], global first
+        h = F.relu(self.bn1(self.conv1(h)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = F.relu(self.bn3(self.conv3(h)))
+        return F.log_softmax(self.conv4(h).permute(0, 2, 1), dim=-1)
+
+
 # ----------------------------------------------------------------- helpers
 
 def _strict_load(module, sd):
@@ -316,9 +418,48 @@ def test_export_loads_into_canonical_part_seg_ssg(tmp_path):
         np.testing.assert_array_equal(l1, l2)
 
 
+def test_export_loads_into_canonical_pointnet_cls():
+    """Pins the feat.* encoder walk (STN fc/bn offsets, conv transposes)
+    against real lineage modules, not just a roundtrip."""
+    spec = get_model("pointnet_cls")
+    model = spec.builder(num_class=7)
+    pts = jnp.asarray(
+        np.random.RandomState(0).randn(2, 128, 3).astype(np.float32))
+    variables = _trained_variables(model, (pts,))
+    sd = _roundtrip_exact("pointnet_cls", variables)
+
+    canon = CanonPointNetCls(num_class=7).eval()
+    _strict_load(canon, sd)
+    with torch.no_grad():
+        logp_t = canon(torch.from_numpy(np.asarray(pts)))
+    np.testing.assert_allclose(
+        _flax_eval(model, variables, pts), logp_t.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_export_loads_into_canonical_pointnet_sem_seg():
+    """The head permutation case: lineage conv1 consumes [global; point],
+    ours [point; global] — parity proves _SEMSEG_HEAD_PERM is right."""
+    spec = get_model("pointnet_sem_seg")
+    model = spec.builder(num_class=13)
+    pts = jnp.asarray(
+        np.random.RandomState(4).randn(1, 128, 9).astype(np.float32))
+    variables = _trained_variables(model, (pts,), nsteps=2)
+    sd = _roundtrip_exact("pointnet_sem_seg", variables)
+
+    canon = CanonPointNetSemSeg(num_class=13).eval()
+    _strict_load(canon, sd)
+    with torch.no_grad():
+        logp_t = canon(torch.from_numpy(np.asarray(pts)))
+    np.testing.assert_allclose(
+        _flax_eval(model, variables, pts), logp_t.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("name", ["pointnet2_sem_seg",
+                                  "pointnet2_sem_seg_msg",
                                   "pointnet2_part_seg_msg",
-                                  "pointnet_cls"])
+                                  "pointnet2_cls_knn"])
 def test_roundtrip_remaining_models(name):
     assert name in SUPPORTED
     spec = get_model(name)
@@ -326,6 +467,9 @@ def test_roundtrip_remaining_models(name):
     if name == "pointnet2_sem_seg":
         model = spec.builder(num_class=13)
         args = (jnp.asarray(rng.randn(1, 128, 9).astype(np.float32)),)
+    elif name == "pointnet2_sem_seg_msg":
+        model = spec.builder(num_class=13)
+        args = (jnp.asarray(rng.randn(1, 512, 9).astype(np.float32)),)
     elif name == "pointnet2_part_seg_msg":
         model = spec.builder()
         args = (jnp.asarray(rng.randn(1, 128, 3).astype(np.float32)),
