@@ -196,6 +196,69 @@ class PointNetPartSeg(nn.Module):
             {"trans_feat": trans_feat}
 
 
+class PointNetPartSegLineage(nn.Module):
+    """Lineage-faithful PointNet part segmentation (checkpoint-compatible).
+
+    Our default :class:`PointNetPartSeg` redesigned the head's skip set
+    (it feeds the transformed features instead of the conv1/conv2
+    intermediates), which makes canonical ``.pth`` checkpoints
+    unmappable onto it.  This variant reproduces the public lineage's
+    exact dataflow — head input ``[global+label(2064); out1(64);
+    out2(128); out3(128); out4(512); out5(2048)] = 4944`` channels,
+    ``bn5`` with **no** ReLU before the global max — so a lineage user's
+    trained part-seg checkpoint migrates 1:1
+    (``mm3d_tpu.utils.torch_import``, model name
+    ``pointnet_part_seg_lineage``).  Param names mirror the canonical
+    module names (conv1..conv5/bn1..bn5, convs1..convs4/bns1..bns3) to
+    keep the import walk a direct rename.
+    """
+
+    num_part: int = 50
+    num_category: int = 16
+    normal_channel: bool = False
+    dtype: Optional[object] = None  # bf16 serving/mixed-precision mode
+
+    @nn.compact
+    def __call__(self, points, cls_label_onehot, train: bool = True,
+                 bn_momentum: float = 0.1):
+        B, N, _ = points.shape
+        channel = 6 if self.normal_channel else 3
+        x = points[..., :channel]
+        trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
+        x = _stn_align(x, trans, self.dtype)
+
+        def conv_bn(h, f, i, act=True):
+            h = nn.Dense(f, name=f"conv{i}", dtype=self.dtype)(h)
+            h = BatchNorm(name=f"bn{i}", dtype=self.dtype)(
+                h, use_running_average=not train, momentum=bn_momentum)
+            return nn.relu(h) if act else h
+
+        out1 = conv_bn(x, 64, 1)
+        out2 = conv_bn(out1, 128, 2)
+        out3 = conv_bn(out2, 128, 3)
+        trans_feat = STN(k=128, name="fstn", dtype=self.dtype)(
+            out3, train, bn_momentum)
+        net = jnp.einsum("bnc,bcd->bnd", out3, trans_feat.astype(out3.dtype))
+        out4 = conv_bn(net, 512, 4)
+        # lineage: out5 = bn5(conv5(out4)) with NO activation — the global
+        # max runs over the raw-normalized features
+        out5 = conv_bn(out4, 2048, 5, act=False)
+        gf = jnp.max(out5, axis=1)  # [B,2048]
+        gf = jnp.concatenate([gf, cls_label_onehot.astype(gf.dtype)], -1)
+        tiled = jnp.broadcast_to(gf[:, None, :], (B, N, gf.shape[-1]))
+        # canonical skip set: the conv1/conv2/conv3 intermediates, out3
+        # PRE-transform (net_transformed is consumed by conv4 only)
+        h = jnp.concatenate([tiled, out1, out2, out3, out4, out5], -1)
+        for i, f in enumerate((256, 256, 128)):
+            h = nn.Dense(f, name=f"convs{i + 1}", dtype=self.dtype)(h)
+            h = BatchNorm(name=f"bns{i + 1}", dtype=self.dtype)(
+                h, use_running_average=not train, momentum=bn_momentum)
+            h = nn.relu(h)
+        h = nn.Dense(self.num_part, name="convs4", dtype=self.dtype)(h)
+        return log_softmax_head(h.astype(jnp.float32)), \
+            {"trans_feat": trans_feat}
+
+
 class PointNetSemSeg(nn.Module):
     """PointNet semantic segmentation over 9-dim block features."""
 

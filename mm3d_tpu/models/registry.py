@@ -74,6 +74,12 @@ register(ModelSpec(
     "pointnet_part_seg", "partseg", pn.PointNetPartSeg, pn.pointnet_loss,
     default_npoint=2048))
 register(ModelSpec(
+    # lineage-faithful skip-concat variant: canonical .pth part-seg
+    # checkpoints migrate onto this one (utils/torch_import.py); the
+    # default pointnet_part_seg keeps the redesigned skip set
+    "pointnet_part_seg_lineage", "partseg", pn.PointNetPartSegLineage,
+    pn.pointnet_loss, default_npoint=2048))
+register(ModelSpec(
     "pointnet2_part_seg_ssg", "partseg", pn2.PointNet2PartSegSSG,
     pn.pointnet_loss, default_npoint=2048))
 register(ModelSpec(

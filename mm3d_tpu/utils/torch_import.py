@@ -28,7 +28,10 @@ listed here.  ``pointnet_part_seg`` is likewise unmapped: our variant
 feeds the head [global+label; mlp1_out; transformed; mlp2_out; conv3]
 while the lineage concatenates the conv1/conv2 intermediates instead of
 the transformed features — the skip sets differ, so no channel
-permutation of a lineage checkpoint reproduces our head input.
+permutation of a lineage checkpoint reproduces our head input.  For
+migrating users the registry ships ``pointnet_part_seg_lineage``
+(models/pointnet.py PointNetPartSegLineage), a faithful rebuild of the
+canonical dataflow whose checkpoints map 1:1 below.
 
 Where both frameworks concatenate the same features in a different
 order (the plain semseg encoder output: ours [point; global], lineage
@@ -277,6 +280,20 @@ def _walk_encoder(w: _Walker):
     w.bn("feat.bn3", ("bn3",))
 
 
+def _walk_pointnet_part_seg_lineage(w: _Walker):
+    """Canonical pointnet_part_seg: a direct rename — the flax variant
+    (PointNetPartSegLineage) keeps the canonical module names."""
+    w.stn("stn", "stn")
+    w.stn("fstn", "fstn")
+    for i in range(1, 6):
+        w.dense(f"conv{i}", (f"conv{i}",), "conv1")
+        w.bn(f"bn{i}", (f"bn{i}",))
+    for i in range(1, 4):
+        w.dense(f"convs{i}", (f"convs{i}",), "conv1")
+        w.bn(f"bns{i}", (f"bns{i}",))
+    w.dense("convs4", ("convs4",), "conv1")
+
+
 def _walk_pointnet_cls_top(w: _Walker):
     w.fc_bn("fc1", "bn1", "fc1", "bn1")
     w.fc_bn("fc2", "bn2", "fc2", "bn2")
@@ -311,6 +328,7 @@ _WALKS = {
     "pointnet2_sem_seg_msg": _walk_pointnet2_sem_seg_msg,
     "pointnet2_part_seg_ssg": _walk_pointnet2_part_seg_ssg,
     "pointnet2_part_seg_msg": _walk_pointnet2_part_seg_msg,
+    "pointnet_part_seg_lineage": _walk_pointnet_part_seg_lineage,
 }
 
 _ENCODER_MODELS = ("pointnet_cls", "pointnet_sem_seg")
@@ -339,8 +357,8 @@ def _run(model_name, variables, sd, mode):
             f"no canonical torch layout for {model_name!r} "
             f"(supported: {SUPPORTED}; the fusion configs are "
             "reference-specific, and pointnet_part_seg's skip-concat "
-            "set deliberately differs from the lineage's — no public "
-            ".pth layout maps onto them)")
+            "set deliberately differs from the lineage's — use "
+            "pointnet_part_seg_lineage for canonical part-seg .pth files)")
     return {"params": params, "batch_stats": stats}
 
 

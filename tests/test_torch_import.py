@@ -212,6 +212,57 @@ class CanonPartSegSSG(nn.Module):
         return F.log_softmax(self.conv2(h).permute(0, 2, 1), dim=-1)
 
 
+class CanonPointNetPartSeg(nn.Module):
+    """Lineage pointnet_part_seg: conv1-5/bn1-5 trunk (bn5 un-activated
+    before the global max), STNkd(128) feature transform, 4944-channel
+    head concat [global+label, out1, out2, out3, out4, out5]."""
+
+    def __init__(self, part_num=50, num_category=16, channel=3):
+        super().__init__()
+        self.num_category = num_category
+        self.stn = CanonSTN(channel, 3)
+        self.conv1 = nn.Conv1d(channel, 64, 1)
+        self.conv2 = nn.Conv1d(64, 128, 1)
+        self.conv3 = nn.Conv1d(128, 128, 1)
+        self.conv4 = nn.Conv1d(128, 512, 1)
+        self.conv5 = nn.Conv1d(512, 2048, 1)
+        self.bn1 = nn.BatchNorm1d(64)
+        self.bn2 = nn.BatchNorm1d(128)
+        self.bn3 = nn.BatchNorm1d(128)
+        self.bn4 = nn.BatchNorm1d(512)
+        self.bn5 = nn.BatchNorm1d(2048)
+        self.fstn = CanonSTN(128, 128)
+        self.convs1 = nn.Conv1d(2048 + num_category + 64 + 128 + 128
+                                + 512 + 2048, 256, 1)
+        self.convs2 = nn.Conv1d(256, 256, 1)
+        self.convs3 = nn.Conv1d(256, 128, 1)
+        self.convs4 = nn.Conv1d(128, part_num, 1)
+        self.bns1 = nn.BatchNorm1d(256)
+        self.bns2 = nn.BatchNorm1d(256)
+        self.bns3 = nn.BatchNorm1d(128)
+
+    def forward(self, points, onehot):  # points [B, N, C]
+        B, N, C = points.shape
+        t = self.stn(points.permute(0, 2, 1))
+        xyz = torch.bmm(points[..., :3], t)
+        x = torch.cat([xyz, points[..., 3:]], -1) if C > 3 else xyz
+        out1 = F.relu(self.bn1(self.conv1(x.permute(0, 2, 1))))
+        out2 = F.relu(self.bn2(self.conv2(out1)))
+        out3 = F.relu(self.bn3(self.conv3(out2)))
+        tf = self.fstn(out3)
+        net = torch.bmm(out3.permute(0, 2, 1), tf).permute(0, 2, 1)
+        out4 = F.relu(self.bn4(self.conv4(net)))
+        out5 = self.bn5(self.conv5(out4))
+        gf = torch.max(out5, 2)[0]
+        gf = torch.cat([gf, onehot], 1)
+        expand = gf.unsqueeze(2).expand(B, gf.shape[1], N)
+        h = torch.cat([expand, out1, out2, out3, out4, out5], 1)
+        h = F.relu(self.bns1(self.convs1(h)))
+        h = F.relu(self.bns2(self.convs2(h)))
+        h = F.relu(self.bns3(self.convs3(h)))
+        return F.log_softmax(self.convs4(h).permute(0, 2, 1), dim=-1)
+
+
 class CanonSTN(nn.Module):
     """Lineage STN3d/STNkd: conv1-3/bn1-3 + fc1-3/bn4-5, + identity."""
 
@@ -453,6 +504,28 @@ def test_export_loads_into_canonical_pointnet_sem_seg():
         logp_t = canon(torch.from_numpy(np.asarray(pts)))
     np.testing.assert_allclose(
         _flax_eval(model, variables, pts), logp_t.numpy(),
+        rtol=1e-4, atol=1e-4)
+
+
+def test_export_loads_into_canonical_pointnet_part_seg():
+    """The lineage-skip part-seg variant: head concat order, the
+    un-activated bn5, and the double-STN walk against real torch
+    modules (closes the one documented migration gap)."""
+    spec = get_model("pointnet_part_seg_lineage")
+    model = spec.builder()
+    rng = np.random.RandomState(5)
+    pts = jnp.asarray(rng.randn(2, 96, 3).astype(np.float32))
+    onehot = jax.nn.one_hot(jnp.array([4, 9]), 16)
+    variables = _trained_variables(model, (pts, onehot), nsteps=1)
+    sd = _roundtrip_exact("pointnet_part_seg_lineage", variables)
+
+    canon = CanonPointNetPartSeg().eval()
+    _strict_load(canon, sd)
+    with torch.no_grad():
+        logp_t = canon(torch.from_numpy(np.asarray(pts)),
+                       torch.from_numpy(np.asarray(onehot)))
+    np.testing.assert_allclose(
+        _flax_eval(model, variables, pts, onehot), logp_t.numpy(),
         rtol=1e-4, atol=1e-4)
 
 
