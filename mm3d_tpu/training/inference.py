@@ -9,6 +9,14 @@ argmax agreement 1.0 vs fp32, max |Δlog p| ≈ 2.5e-3, ~5% faster.
 
 `agreement` quantifies prediction drift between two predictors — run it
 when enabling bf16 on a new model/checkpoint.
+
+`export_serving` / `save_serving` / `load_serving` freeze the eval
+forward into a serialized StableHLO artifact (`jax.export`) with the
+weights embedded as constants: a deployment target can deserialize and
+serve it with no model code, no checkpoint tree, and no flax — just
+jax + the artifact.  The lineage has no ahead-of-time serving story
+(its `test_*.py` scripts re-instantiate the torch module every time);
+this is the TPU-native replacement.  CLI: ``test.py --export PATH``.
 """
 
 from __future__ import annotations
@@ -42,6 +50,51 @@ def make_predictor(model_name: str, variables, dtype: Optional[Any] = None,
         return log_probs
 
     return predict
+
+
+def export_serving(predict: Callable, example_args,
+                   platforms=None, allow_tpu_kernels: bool = False):
+    """Ahead-of-time export of a jitted predictor to `jax.export`.
+
+    `example_args` supply only shapes/dtypes (nothing is executed).
+    `platforms` optionally cross-lowers (e.g. ``("tpu", "cpu")``) so an
+    artifact exported on a CPU host serves on a TPU pod; default is the
+    exporting host's backend.  `allow_tpu_kernels=True` waives the
+    custom-call stability check for Mosaic (Pallas) kernels — their
+    serialized IR is compatible across jaxlib releases only within the
+    published guarantee window, hence opt-in.
+    """
+    from jax import export as jexport
+
+    shapes = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+                   for x in example_args)
+    kw = {}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
+    if allow_tpu_kernels:
+        kw["disabled_checks"] = (
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+    return jexport.export(predict, **kw)(*shapes)
+
+
+def save_serving(path: str, exported) -> None:
+    """Serialize an `export_serving` result to one portable file."""
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_serving(path: str) -> Callable:
+    """Deserialize a saved artifact into a jitted fn(*inputs)->log_probs.
+
+    Shapes/dtypes must match the export-time signature exactly (the
+    artifact is a compiled program, not a module — `jax.export`
+    enforces this and raises on mismatch).
+    """
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return jax.jit(exported.call)
 
 
 def agreement(pred_a: Callable, pred_b: Callable, *args) -> dict:

@@ -10,6 +10,7 @@ import argparse
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from mm3d_tpu.models import available
@@ -41,6 +42,16 @@ def parse_args(argv=None):
                    help="evaluate a lineage PyTorch .pth checkpoint "
                         "(canonical state_dict layout) instead of the "
                         "run dir's orbax checkpoints")
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="instead of evaluating, freeze the eval forward "
+                        "(weights embedded) into a serialized StableHLO "
+                        "serving artifact at PATH (jax.export; reload "
+                        "with mm3d_tpu.training.inference.load_serving)")
+    p.add_argument("--export_platforms", default=None,
+                   metavar="P1[,P2...]",
+                   help="cross-lower the --export artifact for these "
+                        "backends (e.g. 'tpu,cpu'); default: this "
+                        "host's backend")
     p.add_argument("--point_shard", type=int, default=0, metavar="MIN_N",
                    help="shard the point axis of big-N eval SA blocks "
                         "over all devices (blocks with >= MIN_N points; "
@@ -220,6 +231,12 @@ def main(argv=None):
         trainer.log.info("restored checkpoint step %s from %s",
                          step, a.log_dir)
 
+    if a.export:
+        result = _export_serving_cli(a, trainer)
+        trainer.log.info("export: %s", result)
+        print(result)
+        return result
+
     import contextlib
     shard_ctx = contextlib.nullcontext()
     if a.point_shard:
@@ -246,6 +263,32 @@ def main(argv=None):
     trainer.log.info("eval: %s", result)
     print(result)
     return result
+
+
+def _export_serving_cli(a, trainer):
+    """test.py --export: freeze the restored eval forward into one
+    portable StableHLO file (weights embedded).  Input shapes come from
+    a real test-pipeline batch, so the artifact serves exactly what
+    `test.py` would evaluate (same batch/npoint/channel layout)."""
+    from mm3d_tpu.training import inference
+    from mm3d_tpu.training.steps import _split_variables
+    variables = _split_variables(trainer.state)
+    model = trainer.eval_model
+    batch, _ = next(iter(trainer.test_pipe.epoch(0)))
+    args = trainer._model_args(batch)
+    predict = jax.jit(lambda *xs: model.apply(variables, *xs,
+                                              train=False)[0])
+    platforms = (a.export_platforms.split(",")
+                 if a.export_platforms else None)
+    # Pallas kernels only appear under explicit --impl pallas (or the
+    # bf16-serving auto routes); waive the custom-call check for them
+    exported = inference.export_serving(
+        predict, args, platforms=platforms,
+        allow_tpu_kernels=(a.impl == "pallas" or a.dtype == "bfloat16"))
+    inference.save_serving(a.export, exported)
+    return {"exported": a.export,
+            "platforms": list(exported.platforms),
+            "in_shapes": [list(map(int, jnp.shape(x))) for x in args]}
 
 
 def _eval_and_vote(a, trainer):

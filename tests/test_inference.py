@@ -72,3 +72,34 @@ def test_pointnet2_bf16_forward():
                          "dropout": jax.random.PRNGKey(1)}, pts, train=True)
     logp, _ = jax.jit(lambda v: model.apply(v, pts, train=False))(v)
     assert logp.dtype == jnp.float32 and bool(jnp.isfinite(logp).all())
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """StableHLO serving artifact: weights embedded, reload without the
+    model code, logits bit-identical; wrong shapes rejected;
+    cross-platform lowering records both targets."""
+    import pytest
+
+    spec = get_model("pointnet_cls")
+    r = np.random.RandomState(2)
+    pts = jnp.asarray(r.randn(8, 256, 3).astype(np.float32))
+    model = spec.builder(num_class=8)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, pts, train=True)
+    pred = inference.make_predictor("pointnet_cls", variables, num_class=8)
+
+    exported = inference.export_serving(pred, (pts,))
+    path = str(tmp_path / "pointnet_cls.stablehlo")
+    inference.save_serving(path, exported)
+
+    served = inference.load_serving(path)
+    np.testing.assert_array_equal(np.asarray(served(pts)),
+                                  np.asarray(pred(pts)))
+    # a compiled program, not a module: shape mismatches must raise
+    with pytest.raises(Exception):
+        served(pts[:, :128, :])
+
+    # cross-lowering from a CPU host for TPU deployment
+    exp2 = inference.export_serving(pred, (pts,), platforms=("cpu", "tpu"))
+    assert set(exp2.platforms) == {"cpu", "tpu"}
