@@ -53,7 +53,8 @@ def make_predictor(model_name: str, variables, dtype: Optional[Any] = None,
 
 
 def export_serving(predict: Callable, example_args,
-                   platforms=None, allow_tpu_kernels: bool = False):
+                   platforms=None, allow_tpu_kernels: bool = False,
+                   poly_batch: bool = False):
     """Ahead-of-time export of a jitted predictor to `jax.export`.
 
     `example_args` supply only shapes/dtypes (nothing is executed).
@@ -62,12 +63,26 @@ def export_serving(predict: Callable, example_args,
     exporting host's backend.  `allow_tpu_kernels=True` waives the
     custom-call stability check for Mosaic (Pallas) kernels — their
     serialized IR is compatible across jaxlib releases only within the
-    published guarantee window, hence opt-in.
+    published guarantee window, hence opt-in.  `poly_batch=True` makes
+    the leading (batch) axis of every input symbolic, so one artifact
+    serves any batch size; requires the pure-XLA op path (Pallas
+    kernels need static shapes — export with impl 'jax'/'auto'-fp32).
     """
     from jax import export as jexport
 
-    shapes = tuple(jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
-                   for x in example_args)
+    if poly_batch:
+        scope = jexport.SymbolicScope()
+        shapes = tuple(
+            jax.ShapeDtypeStruct(
+                jexport.symbolic_shape(
+                    ",".join(["b"] + [str(d) for d in jnp.shape(x)[1:]]),
+                    scope=scope),
+                jnp.result_type(x))
+            for x in example_args)
+    else:
+        shapes = tuple(
+            jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+            for x in example_args)
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)

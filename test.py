@@ -52,6 +52,11 @@ def parse_args(argv=None):
                    help="cross-lower the --export artifact for these "
                         "backends (e.g. 'tpu,cpu'); default: this "
                         "host's backend")
+    p.add_argument("--export_batch", default="fixed",
+                   choices=["fixed", "poly"],
+                   help="poly: symbolic batch axis — one artifact "
+                        "serves ANY batch size (pure-XLA op path only; "
+                        "Pallas kernels need static shapes)")
     p.add_argument("--point_shard", type=int, default=0, metavar="MIN_N",
                    help="shard the point axis of big-N eval SA blocks "
                         "over all devices (blocks with >= MIN_N points; "
@@ -284,10 +289,12 @@ def _export_serving_cli(a, trainer):
     # bf16-serving auto routes); waive the custom-call check for them
     exported = inference.export_serving(
         predict, args, platforms=platforms,
-        allow_tpu_kernels=(a.impl == "pallas" or a.dtype == "bfloat16"))
+        allow_tpu_kernels=(a.impl == "pallas" or a.dtype == "bfloat16"),
+        poly_batch=(a.export_batch == "poly"))
     inference.save_serving(a.export, exported)
     return {"exported": a.export,
             "platforms": list(exported.platforms),
+            "batch": a.export_batch,
             "in_shapes": [list(map(int, jnp.shape(x))) for x in args]}
 
 

@@ -103,3 +103,11 @@ def test_export_serving_roundtrip(tmp_path):
     # cross-lowering from a CPU host for TPU deployment
     exp2 = inference.export_serving(pred, (pts,), platforms=("cpu", "tpu"))
     assert set(exp2.platforms) == {"cpu", "tpu"}
+
+    # batch-polymorphic artifact: one export serves any batch size
+    exp3 = inference.export_serving(pred, (pts,), poly_batch=True)
+    path3 = str(tmp_path / "poly.stablehlo")
+    inference.save_serving(path3, exp3)
+    poly = inference.load_serving(path3)
+    np.testing.assert_array_equal(np.asarray(poly(pts[:3])),
+                                  np.asarray(pred(pts[:3])))
