@@ -275,24 +275,43 @@ def _export_serving_cli(a, trainer):
     portable StableHLO file (weights embedded).  Input shapes come from
     a real test-pipeline batch, so the artifact serves exactly what
     `test.py` would evaluate (same batch/npoint/channel layout)."""
+    from mm3d_tpu import ops
     from mm3d_tpu.training import inference
     from mm3d_tpu.training.steps import _split_variables
     variables = _split_variables(trainer.state)
     model = trainer.eval_model
-    batch, _ = next(iter(trainer.test_pipe.epoch(0)))
-    args = trainer._model_args(batch)
+    # shapes only — collate one host batch (same structure Trainer
+    # inits from) instead of spinning the prefetch pipeline
+    args = trainer._model_args(
+        trainer._example_batch(trainer.test_pipe.dataset))
     predict = jax.jit(lambda *xs: model.apply(variables, *xs,
                                               train=False)[0])
     platforms = (a.export_platforms.split(",")
                  if a.export_platforms else None)
-    # Pallas kernels only appear under explicit --impl pallas (or the
-    # bf16-serving auto routes); waive the custom-call check for them
-    exported = inference.export_serving(
-        predict, args, platforms=platforms,
-        allow_tpu_kernels=(a.impl == "pallas" or a.dtype == "bfloat16"),
-        poly_batch=(a.export_batch == "poly"))
+    if a.impl == "pallas":
+        # explicit kernel-path export: Mosaic custom calls only serve
+        # on TPU and need static shapes
+        if platforms and set(platforms) != {"tpu"}:
+            raise SystemExit("--impl pallas exports contain Mosaic "
+                             "custom calls: --export_platforms must be "
+                             "'tpu'")
+        if a.export_batch == "poly":
+            raise SystemExit("--export_batch poly needs the pure-XLA "
+                             "op path; drop --impl pallas")
+        exported = inference.export_serving(
+            predict, args, platforms=platforms, allow_tpu_kernels=True)
+        ops_path = "pallas"
+    else:
+        # portable artifact: pin the pure-XLA op path for the trace —
+        # 'auto' on a TPU host (and bf16 serving in any mode) would
+        # otherwise route Pallas kernels into the StableHLO
+        with ops.use_impl("jax"):
+            exported = inference.export_serving(
+                predict, args, platforms=platforms,
+                poly_batch=(a.export_batch == "poly"))
+        ops_path = "xla"
     inference.save_serving(a.export, exported)
-    return {"exported": a.export,
+    return {"exported": a.export, "ops": ops_path,
             "platforms": list(exported.platforms),
             "batch": a.export_batch,
             "in_shapes": [list(map(int, jnp.shape(x))) for x in args]}

@@ -42,7 +42,8 @@ def test_cls_models_forward(name, nclass):
 
 
 @pytest.mark.parametrize("name", [
-    "pointnet_part_seg", "pointnet2_part_seg_ssg", "pointnet2_part_seg_msg"])
+    "pointnet_part_seg", "pointnet_part_seg_lineage",
+    "pointnet2_part_seg_ssg", "pointnet2_part_seg_msg"])
 def test_partseg_models_forward(name):
     spec = get_model(name)
     pts = _points(2, 256)
