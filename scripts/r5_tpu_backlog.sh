@@ -71,3 +71,38 @@ timeout 900 python train.py --model pointnet2_cls_knn --epoch 1 --batch_size 16 
 timeout 900 python test.py --model pointnet2_cls_knn \
   --log_dir log/classification/r5_knn --test_size 16 --batch_size 16 \
   --dtype bfloat16 2>&1 | tail -2
+
+# ---- r5: serving-export on-chip validation ----
+# (a) portable pure-XLA artifact exported ON the TPU host serves there;
+# (b) --impl pallas export embeds Mosaic custom calls and still serves.
+timeout 1800 python - <<'PYEOF' 2>&1 | grep -v WARNING | tail -8
+import numpy as np, jax, jax.numpy as jnp, tempfile, os
+from mm3d_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from mm3d_tpu import ops
+from mm3d_tpu.models import get_model
+from mm3d_tpu.training import inference
+
+spec = get_model("pointnet2_cls_ssg")
+model = spec.builder(num_class=40)
+pts = jnp.asarray(np.random.RandomState(0).randn(24, 1024, 3).astype(np.float32))
+v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               pts, train=True))()
+pred = jax.jit(lambda x: model.apply(v, x, train=False)[0])
+tmp = tempfile.mkdtemp()
+# (a) portable XLA artifact
+with ops.use_impl("jax"):
+    exp = inference.export_serving(pred, (pts,))
+p1 = os.path.join(tmp, "xla.shlo"); inference.save_serving(p1, exp)
+o1 = inference.load_serving(p1)(pts)
+print("xla artifact on tpu:", o1.shape, "max|d| vs live:",
+      float(jnp.abs(o1 - pred(pts)).max()))
+# (b) Mosaic-kernel artifact (explicit pallas path)
+with ops.use_impl("pallas"):
+    exp2 = inference.export_serving(pred, (pts,), allow_tpu_kernels=True)
+p2 = os.path.join(tmp, "pallas.shlo"); inference.save_serving(p2, exp2)
+o2 = inference.load_serving(p2)(pts)
+print("mosaic artifact on tpu:", o2.shape, "max|d| vs xla artifact:",
+      float(jnp.abs(o2 - o1).max()))
+PYEOF
