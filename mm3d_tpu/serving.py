@@ -1,0 +1,184 @@
+"""HTTP serving for exported StableHLO artifacts.
+
+The deployment tail of the serving story (SURVEY.md §1 L3 is the
+lineage's eval CLI; the lineage has no serving daemon at all):
+
+    python test.py --model ... --log_dir <run> --export model.stablehlo
+    python -m mm3d_tpu.serving --artifact model.stablehlo --port 8765
+
+The daemon needs ONLY jax + numpy + the artifact — no flax, no model
+code, no checkpoint tree (weights are constants inside the artifact).
+
+Protocol (numpy ``.npz`` bodies — zero extra dependencies, exact dtypes):
+
+* ``POST /predict`` — body: npz with one array per model input, keys
+  ``arg0..argN`` (cls: ``arg0``=points [B,N,3]; partseg adds
+  ``arg1``=one-hot labels; fusion: points/image/K/R/t).  Response: npz
+  with ``log_probs``.  Any request batch size works: fixed-batch
+  artifacts are padded/chunked server-side, batch-polymorphic artifacts
+  (``--export_batch poly``) are called directly.
+* ``GET /spec`` — the artifact's input signature + platforms (JSON).
+* ``GET /healthz`` — liveness (JSON).
+
+`PredictionService` is the transport-free core (load, pad/chunk,
+predict) for embedding into other servers.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import List, Sequence
+
+import numpy as np
+
+import jax
+
+
+class PredictionService:
+    """Loads one serving artifact; `predict` accepts any batch size."""
+
+    def __init__(self, artifact_path: str):
+        from jax import export as jexport
+
+        with open(artifact_path, "rb") as f:
+            self.exported = jexport.deserialize(f.read())
+        self._fn = jax.jit(self.exported.call)
+        self.in_avals = tuple(self.exported.in_avals)
+        # int for fixed-batch artifacts, a symbolic dim for poly ones
+        lead = self.in_avals[0].shape[0]
+        self.batch = lead if isinstance(lead, int) else None
+
+    def spec(self) -> dict:
+        return {
+            "platforms": list(self.exported.platforms),
+            "batch": self.batch or "poly",
+            "inputs": [{"name": f"arg{i}",
+                        "shape": [d if isinstance(d, int) else str(d)
+                                  for d in a.shape],
+                        "dtype": str(np.dtype(a.dtype))}
+                       for i, a in enumerate(self.in_avals)],
+        }
+
+    def _check(self, arrays: Sequence[np.ndarray]) -> None:
+        if len(arrays) != len(self.in_avals):
+            raise ValueError(f"expected {len(self.in_avals)} inputs "
+                             f"(arg0..arg{len(self.in_avals) - 1}), "
+                             f"got {len(arrays)}")
+        b = arrays[0].shape[0] if arrays[0].ndim else -1
+        for i, (x, a) in enumerate(zip(arrays, self.in_avals)):
+            want = tuple(a.shape[1:])
+            if x.ndim != len(a.shape) or tuple(x.shape[1:]) != want:
+                raise ValueError(
+                    f"arg{i}: expected shape [B, {', '.join(map(str, want))}]"
+                    f", got {list(x.shape)}")
+            if x.shape[0] != b:
+                raise ValueError(f"arg{i}: batch {x.shape[0]} != arg0 "
+                                 f"batch {b}")
+        if b == 0:
+            raise ValueError("empty batch")
+
+    def predict(self, *arrays: np.ndarray) -> np.ndarray:
+        """Run the artifact; pads/chunks to its fixed batch if needed."""
+        arrays = [np.asarray(x, np.dtype(a.dtype))
+                  for x, a in zip(arrays, self.in_avals)]
+        self._check(arrays)
+        b = arrays[0].shape[0]
+        if self.batch is None or b == self.batch:
+            return np.asarray(self._fn(*arrays))
+        outs: List[np.ndarray] = []
+        for lo in range(0, b, self.batch):
+            chunk = [x[lo:lo + self.batch] for x in arrays]
+            got = chunk[0].shape[0]
+            if got < self.batch:  # wrap-pad the remainder (rows discarded)
+                chunk = [np.concatenate(
+                    [c, np.repeat(c[:1], self.batch - got, axis=0)], 0)
+                    for c in chunk]
+            outs.append(np.asarray(self._fn(*chunk))[:got])
+        return np.concatenate(outs, axis=0)
+
+
+def _npz_bytes(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_server(service: PredictionService, host: str = "127.0.0.1",
+                port: int = 0, quiet: bool = True):
+    """Returns an unstarted ThreadingHTTPServer bound to (host, port);
+    port 0 picks a free one (server.server_address[1])."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/spec":
+                self._json(200, service.spec())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                data = np.load(io.BytesIO(self.rfile.read(n)),
+                               allow_pickle=False)
+                keys = sorted(data.files)
+                want = [f"arg{i}" for i in range(len(service.in_avals))]
+                if keys != want:
+                    raise ValueError(f"npz keys {keys} != expected {want}")
+                log_probs = service.predict(*[data[k] for k in want])
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+                return
+            body = _npz_bytes(log_probs=log_probs)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        if quiet:
+            def log_message(self, *a):  # noqa: D102 - stdlib signature
+                pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="serve an exported mm3d_tpu StableHLO artifact")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--platform", default="auto",
+                   help="jax platform to serve on (auto|cpu|tpu); 'auto' "
+                        "keeps the process default.  Must be one of the "
+                        "artifact's lowered platforms (see /spec).")
+    a = p.parse_args(argv)
+    if a.platform != "auto":
+        # Before backend init; overrides env/sitecustomize plugins.
+        jax.config.update("jax_platforms", a.platform)
+    service = PredictionService(a.artifact)
+    server = make_server(service, a.host, a.port, quiet=False)
+    print(f"serving {a.artifact} on http://{a.host}:"
+          f"{server.server_address[1]}  spec={service.spec()}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

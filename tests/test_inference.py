@@ -111,3 +111,70 @@ def test_export_serving_roundtrip(tmp_path):
     poly = inference.load_serving(path3)
     np.testing.assert_array_equal(np.asarray(poly(pts[:3])),
                                   np.asarray(pred(pts[:3])))
+
+
+def test_http_serving_daemon(tmp_path):
+    """mm3d_tpu.serving: an exported artifact served over HTTP — spec,
+    exact-batch predict, server-side pad/chunk for other batch sizes,
+    and 400s on malformed requests."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from mm3d_tpu import serving
+
+    spec = get_model("pointnet_cls")
+    r = np.random.RandomState(2)
+    pts = jnp.asarray(r.randn(8, 256, 3).astype(np.float32))
+    model = spec.builder(num_class=8)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, pts, train=True)
+    pred = inference.make_predictor("pointnet_cls", variables, num_class=8)
+    path = str(tmp_path / "m.stablehlo")
+    inference.save_serving(path, inference.export_serving(pred, (pts,)))
+
+    service = serving.PredictionService(path)
+    server = serving.make_server(service)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/healthz") as resp:
+            assert json.loads(resp.read())["ok"] is True
+        with urllib.request.urlopen(f"{base}/spec") as resp:
+            s = json.loads(resp.read())
+        assert s["batch"] == 8 and s["inputs"][0]["shape"] == [8, 256, 3]
+
+        def post(**arrays):
+            buf = io.BytesIO()
+            np.savez(buf, **arrays)
+            req = urllib.request.Request(f"{base}/predict",
+                                         data=buf.getvalue(), method="POST")
+            with urllib.request.urlopen(req) as resp:
+                return np.load(io.BytesIO(resp.read()))["log_probs"]
+
+        want = np.asarray(pred(pts))
+        np.testing.assert_array_equal(post(arg0=np.asarray(pts)), want)
+        # pad path (B < artifact batch) and chunk+pad path (B > batch):
+        # rows must match the exact-batch rows bit-for-bit
+        big = np.concatenate([np.asarray(pts)] * 2 + [np.asarray(pts)[:3]])
+        out_small = post(arg0=np.asarray(pts)[:3])
+        out_big = post(arg0=big)
+        np.testing.assert_array_equal(out_small, want[:3])
+        np.testing.assert_array_equal(out_big[:8], want)
+        np.testing.assert_array_equal(out_big[16:], want[:3])
+
+        for bad in ({"notarg": np.zeros((8, 256, 3), np.float32)},
+                    {"arg0": np.zeros((8, 128, 3), np.float32)}):
+            try:
+                post(**bad)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and "error" in json.loads(e.read())
+    finally:
+        server.shutdown()
+        server.server_close()
