@@ -106,3 +106,41 @@ o2 = inference.load_serving(p2)(pts)
 print("mosaic artifact on tpu:", o2.shape, "max|d| vs xla artifact:",
       float(jnp.abs(o2 - o1).max()))
 PYEOF
+
+# ---- r5: serving daemon on-chip smoke ----
+# export a tpu-lowered artifact, serve it via the daemon on the TPU
+# backend, and round-trip one /predict through HTTP.
+timeout 1800 python - <<'PYEOF' 2>&1 | grep -v WARNING | tail -4
+import io, json, os, re, subprocess, sys, tempfile, urllib.request
+import numpy as np, jax, jax.numpy as jnp
+from mm3d_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from mm3d_tpu.models import get_model
+from mm3d_tpu.training import inference
+
+spec = get_model("pointnet2_cls_ssg")
+model = spec.builder(num_class=40)
+pts = jnp.asarray(np.random.RandomState(0).randn(24, 1024, 3).astype(np.float32))
+v = jax.jit(lambda: model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)},
+                               pts, train=True))()
+pred = jax.jit(lambda x: model.apply(v, x, train=False)[0])
+tmp = tempfile.mkdtemp()
+path = os.path.join(tmp, "m.shlo")
+inference.save_serving(path, inference.export_serving(pred, (pts,)))
+proc = subprocess.Popen([sys.executable, "-m", "mm3d_tpu.serving",
+                         "--artifact", path, "--port", "0"],
+                        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                        text=True)
+try:
+    base = re.search(r"http://127\.0\.0\.1:\d+", proc.stdout.readline()).group(0)
+    buf = io.BytesIO(); np.savez(buf, arg0=np.asarray(pts))
+    req = urllib.request.Request(base + "/predict", data=buf.getvalue(),
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        out = np.load(io.BytesIO(resp.read()))["log_probs"]
+    print("daemon on tpu: out", out.shape, "max|d| vs live:",
+          float(np.abs(out - np.asarray(pred(pts))).max()))
+finally:
+    proc.terminate(); proc.wait(timeout=10)
+PYEOF
