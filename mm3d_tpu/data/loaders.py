@@ -309,7 +309,15 @@ def build_real_datasets(dataset: str, root: str, task: str,
 
     def _views_dir(split):
         d = os.path.join(root, f"views_{split}")
-        return d if os.path.isdir(d) else os.path.join(root, "views")
+        if os.path.isdir(d):
+            return d
+        d = os.path.join(root, "views")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"--dataset multimodal needs {root}/views_{split}/ or "
+                f"{root}/views/ (per-sample <index>.npz with "
+                "image/K/R/t); neither exists")
+        return d
 
     if dataset == "modelnet40":
         mk = lambda split: ModelNetDataset(

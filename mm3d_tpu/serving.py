@@ -80,6 +80,10 @@ class PredictionService:
 
     def predict(self, *arrays: np.ndarray) -> np.ndarray:
         """Run the artifact; pads/chunks to its fixed batch if needed."""
+        if len(arrays) != len(self.in_avals):
+            raise ValueError(f"expected {len(self.in_avals)} inputs "
+                             f"(arg0..arg{len(self.in_avals) - 1}), "
+                             f"got {len(arrays)}")
         arrays = [np.asarray(x, np.dtype(a.dtype))
                   for x, a in zip(arrays, self.in_avals)]
         self._check(arrays)
@@ -139,9 +143,17 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
                 want = [f"arg{i}" for i in range(len(service.in_avals))]
                 if keys != want:
                     raise ValueError(f"npz keys {keys} != expected {want}")
-                log_probs = service.predict(*[data[k] for k in want])
-            except ValueError as e:
+                arrays = [data[k] for k in want]
+            except Exception as e:  # malformed request (body/npz/keys)
+                self._json(400, {"error": str(e) or type(e).__name__})
+                return
+            try:
+                log_probs = service.predict(*arrays)
+            except ValueError as e:  # shape/batch validation
                 self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # artifact/runtime failure
+                self._json(500, {"error": str(e) or type(e).__name__})
                 return
             body = _npz_bytes(log_probs=log_probs)
             self.send_response(200)

@@ -248,7 +248,10 @@ class Trainer:
 
     def _example_batch(self, ds):
         from mm3d_tpu.data.pipeline import _default_collate
-        return _default_collate([ds[i] for i in range(self.cfg.batch_size)])
+        # wrap like DataPipeline's pad-remainder does, so datasets
+        # smaller than one batch still yield a full-shape example
+        return _default_collate([ds[i % len(ds)]
+                                 for i in range(self.cfg.batch_size)])
 
     def _model_args(self, batch):
         if isinstance(batch, dict):

@@ -396,7 +396,11 @@ def load_torch_checkpoint(model_name: str, variables, path: str) -> dict:
     """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only: the supported formats (bare state_dict or the
+    # {"model_state_dict": ...} wrapper) are tensors + plain dicts, so
+    # the safe loader suffices — never unpickle arbitrary objects from
+    # a downloaded .pth.
+    obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     sd = {k[len("module."):] if k.startswith("module.") else k: v

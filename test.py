@@ -295,6 +295,14 @@ def _export_serving_cli(a, trainer):
             raise SystemExit("--impl pallas exports contain Mosaic "
                              "custom calls: --export_platforms must be "
                              "'tpu'")
+        if platforms is None and jax.default_backend() != "tpu":
+            # without --export_platforms the artifact lowers for THIS
+            # host; off-TPU that would silently bake interpret-mode
+            # kernels into a cpu artifact
+            raise SystemExit(
+                "--impl pallas export on a non-TPU host: the kernels "
+                "would trace in interpret mode; run on TPU or drop "
+                "--impl pallas")
         if a.export_batch == "poly":
             raise SystemExit("--export_batch poly needs the pure-XLA "
                              "op path; drop --impl pallas")

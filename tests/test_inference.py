@@ -137,6 +137,13 @@ def test_http_serving_daemon(tmp_path):
     inference.save_serving(path, inference.export_serving(pred, (pts,)))
 
     service = serving.PredictionService(path)
+    # embedding API: arity is validated, not zip-truncated
+    for bad_args in ((), (np.asarray(pts), np.zeros((8, 4), np.float32))):
+        try:
+            service.predict(*bad_args)
+            assert False, "expected ValueError on wrong input count"
+        except ValueError as e:
+            assert "expected 1 inputs" in str(e)
     server = serving.make_server(service)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -173,3 +173,27 @@ def test_missing_data_root_is_a_clean_error():
         train_cli.main([
             "--model", "pointnet_cls", "--dataset", "modelnet40",
             "--epoch", "1", "--no_checkpoint"])
+
+
+def test_missing_views_dir_is_a_clean_error(tmp_path):
+    """multimodal without views_<split>/ or views/ fails at build time
+    with a message naming both candidates, not per-sample mid-epoch
+    (code-review r5)."""
+    from mm3d_tpu.data.loaders import build_real_datasets
+    _write_modelnet(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="views"):
+        build_real_datasets("multimodal", str(tmp_path), "fusion_cls",
+                            npoints=32)
+
+
+def test_example_batch_wraps_short_dataset():
+    """_example_batch on a dataset smaller than batch_size wraps like
+    the pipeline's pad-remainder instead of IndexError (code-review r5
+    — the test.py --export path collates one example batch directly)."""
+    import types
+    from mm3d_tpu.training.loop import Trainer
+
+    ds = [(np.full((8, 3), float(i), np.float32), i) for i in range(3)]
+    stub = types.SimpleNamespace(cfg=types.SimpleNamespace(batch_size=5))
+    batch = Trainer._example_batch(stub, ds)
+    assert batch[0].shape == (5, 8, 3) and list(batch[1]) == [0, 1, 2, 0, 1]
