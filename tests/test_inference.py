@@ -112,6 +112,14 @@ def test_export_serving_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(poly(pts[:3])),
                                   np.asarray(pred(pts[:3])))
 
+    # the serving daemon's service layer calls poly artifacts directly
+    # (no pad/chunk) at any batch size
+    from mm3d_tpu import serving
+    service = serving.PredictionService(path3)
+    assert service.batch is None and service.spec()["batch"] == "poly"
+    np.testing.assert_array_equal(service.predict(np.asarray(pts[:3])),
+                                  np.asarray(pred(pts[:3])))
+
 
 def test_http_serving_daemon(tmp_path):
     """mm3d_tpu.serving: an exported artifact served over HTTP — spec,
