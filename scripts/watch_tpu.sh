@@ -1,0 +1,24 @@
+#!/bin/bash
+# Poll for the TPU's return during the axon relay outage (began
+# 2026-08-17 20:01 UTC).  Exits 0 the moment a probe succeeds so the
+# operator can run scripts/r5_tpu_backlog.sh; exits 1 if the deadline
+# passes first.  Each probe is a bounded backend-init attempt — during
+# the outage init hangs, so `timeout` kills it.
+#
+# Usage: bash scripts/watch_tpu.sh [max_hours]
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+MAX_HOURS=${1:-11}
+DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
+
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  if timeout 120 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; then
+    echo "TPU BACK at $(date -u '+%Y-%m-%d %H:%M:%S UTC')"
+    exit 0
+  fi
+  echo "probe failed at $(date -u '+%Y-%m-%d %H:%M:%S UTC'); sleeping 600s"
+  sleep 600
+done
+echo "deadline passed; TPU never returned"
+exit 1

@@ -121,6 +121,63 @@ def test_export_serving_roundtrip(tmp_path):
                                   np.asarray(pred(pts[:3])))
 
 
+def test_fusion_multiarg_export_and_service(tmp_path):
+    """Multi-input serving (fusion: points/image/K/R/t = 5 args): one
+    batch-polymorphic export shares a symbolic batch across every
+    input, the service validates arity + cross-arg batch agreement, and
+    the HTTP layer round-trips arg0..arg4 npz keys."""
+    import io
+    import urllib.request
+    import threading
+
+    import pytest
+
+    from mm3d_tpu import serving
+
+    spec = get_model("fusion_cls")
+    args = _fusion_inputs()
+    model = spec.builder(num_class=6)
+    variables = jit_init(
+        model, {"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, *args, train=True)
+    pred = inference.make_predictor("fusion_cls", variables, num_class=6)
+    path = str(tmp_path / "fusion.stablehlo")
+    inference.save_serving(
+        path, inference.export_serving(pred, args, poly_batch=True))
+
+    service = serving.PredictionService(path)
+    s = service.spec()
+    assert s["batch"] == "poly" and len(s["inputs"]) == 5
+    np_args = [np.asarray(a) for a in args]
+    want = np.asarray(pred(*args))
+    np.testing.assert_array_equal(service.predict(*np_args), want)
+    # a second batch size through the same artifact; eval-mode rows are
+    # batch-independent (running BN stats), so they match the b=4 rows
+    np.testing.assert_allclose(service.predict(*[a[:2] for a in np_args]),
+                               want[:2], atol=1e-6, rtol=0)
+    # cross-arg batch mismatch is a clean error (multi-arg-specific)
+    bad = [np_args[0]] + [a[:2] for a in np_args[1:]]
+    with pytest.raises(ValueError, match="batch"):
+        service.predict(*bad)
+
+    server = serving.make_server(service)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, **{f"arg{i}": a for i, a in enumerate(np_args)})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+            method="POST")
+        with urllib.request.urlopen(req) as resp:
+            out = np.load(io.BytesIO(resp.read()))["log_probs"]
+        np.testing.assert_array_equal(out, want)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_http_serving_daemon(tmp_path):
     """mm3d_tpu.serving: an exported artifact served over HTTP — spec,
     exact-batch predict, server-side pad/chunk for other batch sizes,

@@ -76,19 +76,20 @@ def test_train_mode_updates_batch_stats_and_dropout_is_stochastic():
     model = spec.builder()
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
     variables = jit_init(model, rngs, pts, train=True)
-    (out1, _), mut = model.apply(
-        variables, pts, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
-        mutable=["batch_stats"])
+    # jitted (eager whole-model apply costs ~2s/call on the 1-core host)
+    tr_fwd = jax.jit(lambda k: model.apply(
+        variables, pts, train=True, rngs={"dropout": k},
+        mutable=["batch_stats"]))
+    (out1, _), mut = tr_fwd(jax.random.PRNGKey(2))
     # running stats moved away from init
     leaf = jax.tree_util.tree_leaves(mut["batch_stats"])
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaf)
-    (out2, _), _ = model.apply(
-        variables, pts, train=True, rngs={"dropout": jax.random.PRNGKey(3)},
-        mutable=["batch_stats"])
+    (out2, _), _ = tr_fwd(jax.random.PRNGKey(3))
     assert not np.allclose(np.asarray(out1), np.asarray(out2))  # dropout active
-    # eval mode is deterministic
-    (e1, _) = model.apply(variables, pts, train=False)
-    (e2, _) = model.apply(variables, pts, train=False)
+    # eval mode is deterministic (same compiled program, same inputs)
+    ev = jax.jit(lambda: model.apply(variables, pts, train=False))
+    (e1, _) = ev()
+    (e2, _) = ev()
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 

@@ -45,9 +45,13 @@ def test_pointnet2_trains_and_learns(tmp_path):
     # bn momentum 0.5: running var starts at 1.0 and the true activation
     # variance is ~1e-3, so the default 0.1 momentum needs ~100+ steps to
     # converge before eval mode is meaningful (torch-identical behavior).
+    # eval_every=3: deterministic seeds make the final-epoch eval the
+    # one that passes (0.4375 vs chance 0.25) — skipping the two
+    # intermediate evals saves ~4s of suite time at no assertion cost
     cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=3,
                     train_size=32, test_size=16, batch_size=8,
-                    bn_init_momentum=0.5, augmentations=())
+                    bn_init_momentum=0.5, augmentations=(),
+                    eval_every=3)
     tr = Trainer(cfg)
     result = tr.fit()
     assert result["best_instance_acc"] > 0.28  # chance = 0.25
@@ -151,10 +155,13 @@ def test_fps_random_start(tmp_path):
                          "dropout": jax.random.PRNGKey(1)}, pts,
                  train=True)
 
+    # jitted (eager whole-model apply costs ~2s/call on the 1-core
+    # host); distinct rng-dict structures trace separately + cache
+    fwd_j = jax.jit(lambda rngs: model.apply(
+        v, pts, train=True, rngs=rngs, mutable=["batch_stats"]))
+
     def fwd(rngs):
-        out = model.apply(v, pts, train=True, rngs=rngs,
-                          mutable=["batch_stats"])
-        return np.asarray(out[0][0])
+        return np.asarray(fwd_j(rngs)[0][0])
 
     base = fwd({"dropout": jax.random.PRNGKey(2)})
     again = fwd({"dropout": jax.random.PRNGKey(2)})
@@ -163,9 +170,10 @@ def test_fps_random_start(tmp_path):
                       "fps": jax.random.PRNGKey(3)})
     assert not np.allclose(base, randomized)  # stream changes grouping
     # eval mode ignores the stream entirely
-    e1 = np.asarray(model.apply(v, pts, train=False)[0])
-    e2 = np.asarray(model.apply(v, pts, train=False,
-                                rngs={"fps": jax.random.PRNGKey(3)})[0])
+    ev_j = jax.jit(lambda rngs: model.apply(v, pts, train=False,
+                                            rngs=rngs)[0])
+    e1 = np.asarray(ev_j(None))
+    e2 = np.asarray(ev_j({"fps": jax.random.PRNGKey(3)}))
     np.testing.assert_array_equal(e1, e2)
     # end-to-end: the CLI flag trains and learns
     cfg = _tiny_cfg(tmp_path, "pointnet2_cls_ssg", epochs=1,

@@ -7,14 +7,15 @@ import numpy as np
 from mm3d_tpu.data import synthetic as syn
 from mm3d_tpu.models import get_model
 from mm3d_tpu.training import steps
+from _helpers import jit_init
 
 
 def test_cls_vote_shapes_and_determinism():
     spec = get_model("pointnet_cls")
     model = spec.builder(num_class=4)
     pts = jnp.asarray(np.random.RandomState(0).randn(2, 64, 3).astype(np.float32))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts, train=True)
     from mm3d_tpu.training.state import TrainState
     st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
                     batch_stats=v["batch_stats"], opt_state=())
@@ -38,9 +39,9 @@ def test_fusion_cls_vote_rotation_keeps_projection_consistent():
     K = jnp.broadcast_to(jnp.eye(3) * 8, (B, 3, 3)).astype(jnp.float32)
     R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3)).astype(jnp.float32)
     t = jnp.tile(jnp.array([0., 0., 3.], jnp.float32), (B, 1))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
-                   train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
+                 train=True)
     from mm3d_tpu.training.state import TrainState
     st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
                     batch_stats=v["batch_stats"], opt_state=())
@@ -74,9 +75,9 @@ def test_fusion_semseg_vote_shapes():
     K = jnp.broadcast_to(jnp.eye(3) * 8, (B, 3, 3)).astype(jnp.float32)
     R = jnp.broadcast_to(jnp.eye(3), (B, 3, 3)).astype(jnp.float32)
     t = jnp.tile(jnp.array([0., 0., 3.], jnp.float32), (B, 1))
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
-                   train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts, img, K, R, t,
+                 train=True)
     from mm3d_tpu.training.state import TrainState
     st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
                     batch_stats=v["batch_stats"], opt_state=())
@@ -93,9 +94,9 @@ def test_partseg_vote_predictions_in_category_range():
     pts = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
     cat = jnp.array([0, 3], jnp.int32)
     onehot = jax.nn.one_hot(cat, 16)
-    v = model.init({"params": jax.random.PRNGKey(0),
-                    "dropout": jax.random.PRNGKey(1)}, pts, onehot,
-                   train=True)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, pts, onehot,
+                 train=True)
     from mm3d_tpu.training.state import TrainState
     st = TrainState(step=jnp.zeros((), jnp.int32), params=v["params"],
                     batch_stats=v["batch_stats"], opt_state=())
