@@ -49,6 +49,16 @@ class PredictionService:
         lead = self.in_avals[0].shape[0]
         self.batch = lead if isinstance(lead, int) else None
 
+    def warmup(self) -> None:
+        """Compile the artifact before the first request (a cold TPU
+        compile can take minutes through a remote-compile tunnel; pay it
+        at startup, not on a client's clock).  Poly artifacts warm at
+        batch 1 — other batch sizes still compile on first use."""
+        b = self.batch or 1
+        zeros = [np.zeros((b,) + tuple(a.shape[1:]), np.dtype(a.dtype))
+                 for a in self.in_avals]
+        np.asarray(self._fn(*zeros))
+
     def spec(self) -> dict:
         return {
             "platforms": list(self.exported.platforms),
@@ -141,7 +151,9 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
                                allow_pickle=False)
                 keys = sorted(data.files)
                 want = [f"arg{i}" for i in range(len(service.in_avals))]
-                if keys != want:
+                # set-compare: lexicographic sort misorders arg10 vs arg2
+                # once a model has >9 inputs
+                if keys != sorted(want):
                     raise ValueError(f"npz keys {keys} != expected {want}")
                 arrays = [data[k] for k in want]
             except Exception as e:  # malformed request (body/npz/keys)
@@ -181,11 +193,16 @@ def main(argv=None):
                    help="jax platform to serve on (auto|cpu|tpu); 'auto' "
                         "keeps the process default.  Must be one of the "
                         "artifact's lowered platforms (see /spec).")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the startup compile; the first /predict "
+                        "request pays it instead")
     a = p.parse_args(argv)
     if a.platform != "auto":
         # Before backend init; overrides env/sitecustomize plugins.
         jax.config.update("jax_platforms", a.platform)
     service = PredictionService(a.artifact)
+    if not a.no_warmup:
+        service.warmup()
     server = make_server(service, a.host, a.port, quiet=False)
     print(f"serving {a.artifact} on http://{a.host}:"
           f"{server.server_address[1]}  spec={service.spec()}", flush=True)

@@ -13,7 +13,8 @@ MAX_HOURS=${1:-11}
 DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if timeout 120 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; then
+  # nice -19: a probe must not skew suite/bench timings on the 1-core host
+  if nice -n 19 timeout 120 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; then
     echo "TPU BACK at $(date -u '+%Y-%m-%d %H:%M:%S UTC')"
     exit 0
   fi

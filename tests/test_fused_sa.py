@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from mm3d_tpu import ops
+from _helpers import jit_init
 from mm3d_tpu.ops import geometry as G
 from mm3d_tpu.ops import pallas_kernels as pk
 
@@ -83,13 +84,18 @@ def test_sa_module_fused_path_matches_jax():
     xyz = jnp.asarray(r.randn(2, 128, 3).astype(np.float32) * 0.5)
     feats = jnp.asarray(r.randn(2, 128, 5).astype(np.float32))
     sa = SetAbstraction(32, 0.4, 16, (24, 24, 48))
-    v = sa.init(jax.random.PRNGKey(0), xyz, feats, train=True)
-    _, mut = sa.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+    v = jit_init(sa, jax.random.PRNGKey(0), xyz, feats, train=True)
+    _, mut = jax.jit(lambda v, a, b: sa.apply(
+        v, a, b, train=True, mutable=["batch_stats"]))(v, xyz, feats)
     v = {**v, "batch_stats": mut["batch_stats"]}
+    # separate jit fns per impl: use_impl is read at trace time, so a
+    # shared fn would silently replay the first path's trace
+    ev_jax = jax.jit(lambda v, a, b: sa.apply(v, a, b, train=False))
+    ev_pal = jax.jit(lambda v, a, b: sa.apply(v, a, b, train=False))
     with ops.use_impl("jax"):
-        nx1, f1 = sa.apply(v, xyz, feats, train=False)
+        nx1, f1 = ev_jax(v, xyz, feats)
     with ops.use_impl("pallas"):
-        nx2, f2 = sa.apply(v, xyz, feats, train=False)
+        nx2, f2 = ev_pal(v, xyz, feats)
     assert np.array_equal(np.asarray(nx1), np.asarray(nx2))
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
                                rtol=1e-5, atol=1e-5)
@@ -103,13 +109,16 @@ def test_msg_module_fused_path_matches_jax():
     feats = jnp.asarray(r.randn(2, 128, 5).astype(np.float32))
     msg = SetAbstractionMsg(32, (0.2, 0.4), (8, 16),
                             ((16, 16, 32), (16, 24, 32)))
-    v = msg.init(jax.random.PRNGKey(0), xyz, feats, train=True)
-    _, mut = msg.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+    v = jit_init(msg, jax.random.PRNGKey(0), xyz, feats, train=True)
+    _, mut = jax.jit(lambda v, a, b: msg.apply(
+        v, a, b, train=True, mutable=["batch_stats"]))(v, xyz, feats)
     v = {**v, "batch_stats": mut["batch_stats"]}
+    ev_jax = jax.jit(lambda v, a, b: msg.apply(v, a, b, train=False))
+    ev_pal = jax.jit(lambda v, a, b: msg.apply(v, a, b, train=False))
     with ops.use_impl("jax"):
-        _, g1 = msg.apply(v, xyz, feats, train=False)
+        _, g1 = ev_jax(v, xyz, feats)
     with ops.use_impl("pallas"):
-        _, g2 = msg.apply(v, xyz, feats, train=False)
+        _, g2 = ev_pal(v, xyz, feats)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
 
@@ -228,13 +237,18 @@ def test_sa_module_knn_fused_path_matches_jax():
     xyz = jnp.asarray(r.randn(2, 128, 3).astype(np.float32) * 0.5)
     feats = jnp.asarray(r.randn(2, 128, 5).astype(np.float32))
     sa = SetAbstraction(32, 0.4, 16, (24, 24, 48), knn=True)
-    v = sa.init(jax.random.PRNGKey(0), xyz, feats, train=True)
-    _, mut = sa.apply(v, xyz, feats, train=True, mutable=["batch_stats"])
+    v = jit_init(sa, jax.random.PRNGKey(0), xyz, feats, train=True)
+    _, mut = jax.jit(lambda v, a, b: sa.apply(
+        v, a, b, train=True, mutable=["batch_stats"]))(v, xyz, feats)
     v = {**v, "batch_stats": mut["batch_stats"]}
+    # separate jit fns per impl: use_impl is read at trace time, so a
+    # shared fn would silently replay the first path's trace
+    ev_jax = jax.jit(lambda v, a, b: sa.apply(v, a, b, train=False))
+    ev_pal = jax.jit(lambda v, a, b: sa.apply(v, a, b, train=False))
     with ops.use_impl("jax"):
-        nx1, f1 = sa.apply(v, xyz, feats, train=False)
+        nx1, f1 = ev_jax(v, xyz, feats)
     with ops.use_impl("pallas"):
-        nx2, f2 = sa.apply(v, xyz, feats, train=False)
+        nx2, f2 = ev_pal(v, xyz, feats)
     assert np.array_equal(np.asarray(nx1), np.asarray(nx2))
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
                                rtol=1e-5, atol=1e-5)

@@ -202,6 +202,7 @@ def test_http_serving_daemon(tmp_path):
     inference.save_serving(path, inference.export_serving(pred, (pts,)))
 
     service = serving.PredictionService(path)
+    service.warmup()  # startup compile (same program the requests use)
     # embedding API: arity is validated, not zip-truncated
     for bad_args in ((), (np.asarray(pts), np.zeros((8, 4), np.float32))):
         try:
