@@ -19,6 +19,8 @@ Protocol (numpy ``.npz`` bodies — zero extra dependencies, exact dtypes):
   (``--export_batch poly``) are called directly.
 * ``GET /spec`` — the artifact's input signature + platforms (JSON).
 * ``GET /healthz`` — liveness (JSON).
+* ``GET /metrics`` — request/error/cloud counters + latency
+  percentiles over the last 1024 requests (JSON).
 
 `PredictionService` is the transport-free core (load, pad/chunk,
 predict) for embedding into other servers.
@@ -28,6 +30,8 @@ from __future__ import annotations
 
 import io
 import json
+import threading
+import time
 from typing import List, Sequence
 
 import numpy as np
@@ -118,11 +122,56 @@ def _npz_bytes(**arrays) -> bytes:
     return buf.getvalue()
 
 
+class _Metrics:
+    """Thread-safe /predict counters + latency percentiles (last 1024)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.requests_total = 0
+        self.errors_total = 0
+        self.clouds_total = 0
+        self._lat: List[float] = []
+
+    def observe(self, ok: bool, batch: int, seconds: float) -> None:
+        with self._lock:
+            self.requests_total += 1
+            if ok:
+                self.clouds_total += batch
+            else:
+                self.errors_total += 1
+            self._lat.append(seconds)
+            if len(self._lat) > 1024:
+                del self._lat[:-1024]
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {"requests_total": self.requests_total,
+                   "errors_total": self.errors_total,
+                   "clouds_total": self.clouds_total}
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 6)
+
+        out["latency_s"] = {"p50": pct(0.50), "p90": pct(0.90),
+                            "p99": pct(0.99)}
+        return out
+
+
 def make_server(service: PredictionService, host: str = "127.0.0.1",
-                port: int = 0, quiet: bool = True):
+                port: int = 0, quiet: bool = True,
+                max_body_mb: float = 256.0):
     """Returns an unstarted ThreadingHTTPServer bound to (host, port);
-    port 0 picks a free one (server.server_address[1])."""
+    port 0 picks a free one (server.server_address[1]).  `max_body_mb`
+    bounds /predict request bodies (413 beyond it) so one oversized npz
+    can't OOM the host.  GET /metrics reports request/error/cloud
+    counters and latency percentiles (`server.metrics` programmatically)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    metrics = _Metrics()
+    max_body = int(max_body_mb * (1 << 20))
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj: dict):
@@ -138,6 +187,8 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
                 self._json(200, {"ok": True})
             elif self.path == "/spec":
                 self._json(200, service.spec())
+            elif self.path == "/metrics":
+                self._json(200, metrics.snapshot())
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
@@ -145,8 +196,19 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
             if self.path != "/predict":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
+            t0 = time.monotonic()
+
+            def fail(code: int, msg: str):
+                metrics.observe(False, 0, time.monotonic() - t0)
+                self._json(code, {"error": msg})
+
+            n = int(self.headers.get("Content-Length", "0"))
+            if n > max_body:
+                # don't read the body: 413 and let the client retry
+                # in chunks (the server pads/chunks batches anyway)
+                fail(413, f"request body {n} B > limit {max_body} B")
+                return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
                 data = np.load(io.BytesIO(self.rfile.read(n)),
                                allow_pickle=False)
                 keys = sorted(data.files)
@@ -157,17 +219,19 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
                     raise ValueError(f"npz keys {keys} != expected {want}")
                 arrays = [data[k] for k in want]
             except Exception as e:  # malformed request (body/npz/keys)
-                self._json(400, {"error": str(e) or type(e).__name__})
+                fail(400, str(e) or type(e).__name__)
                 return
             try:
                 log_probs = service.predict(*arrays)
             except ValueError as e:  # shape/batch validation
-                self._json(400, {"error": str(e)})
+                fail(400, str(e))
                 return
             except Exception as e:  # artifact/runtime failure
-                self._json(500, {"error": str(e) or type(e).__name__})
+                fail(500, str(e) or type(e).__name__)
                 return
             body = _npz_bytes(log_probs=log_probs)
+            metrics.observe(True, int(arrays[0].shape[0]),
+                            time.monotonic() - t0)
             self.send_response(200)
             self.send_header("Content-Type", "application/x-npz")
             self.send_header("Content-Length", str(len(body)))
@@ -178,7 +242,9 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
             def log_message(self, *a):  # noqa: D102 - stdlib signature
                 pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.metrics = metrics
+    return server
 
 
 def main(argv=None):
@@ -196,6 +262,8 @@ def main(argv=None):
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the startup compile; the first /predict "
                         "request pays it instead")
+    p.add_argument("--max_body_mb", type=float, default=256.0,
+                   help="reject /predict bodies over this size (413)")
     a = p.parse_args(argv)
     if a.platform != "auto":
         # Before backend init; overrides env/sitecustomize plugins.
@@ -203,7 +271,8 @@ def main(argv=None):
     service = PredictionService(a.artifact)
     if not a.no_warmup:
         service.warmup()
-    server = make_server(service, a.host, a.port, quiet=False)
+    server = make_server(service, a.host, a.port, quiet=False,
+                         max_body_mb=a.max_body_mb)
     print(f"serving {a.artifact} on http://{a.host}:"
           f"{server.server_address[1]}  spec={service.spec()}", flush=True)
     server.serve_forever()

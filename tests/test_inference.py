@@ -248,6 +248,34 @@ def test_http_serving_daemon(tmp_path):
                 assert False, "expected HTTP 400"
             except urllib.error.HTTPError as e:
                 assert e.code == 400 and "error" in json.loads(e.read())
+
+        # /metrics: 3 ok predicts (8+3+19 clouds), 2 errors so far
+        with urllib.request.urlopen(f"{base}/metrics") as resp:
+            m = json.loads(resp.read())
+        assert m["requests_total"] == 5 and m["errors_total"] == 2
+        assert m["clouds_total"] == 8 + 3 + 19
+        assert m["latency_s"]["p50"] is not None
+
+        # body-size guard: a server capped at 10 KB rejects the ~24 KB
+        # npz with 413 without reading the body
+        small = serving.make_server(service, max_body_mb=0.01)
+        sport = small.server_address[1]
+        st = threading.Thread(target=small.serve_forever, daemon=True)
+        st.start()
+        try:
+            buf = io.BytesIO()
+            np.savez(buf, arg0=np.zeros((8, 256, 3), np.float32))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{sport}/predict", data=buf.getvalue(),
+                method="POST")
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected HTTP 413"
+            except urllib.error.HTTPError as e:
+                assert e.code == 413 and "limit" in json.loads(e.read())["error"]
+        finally:
+            small.shutdown()
+            small.server_close()
     finally:
         server.shutdown()
         server.server_close()
