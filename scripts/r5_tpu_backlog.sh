@@ -107,6 +107,12 @@ print("mosaic artifact on tpu:", o2.shape, "max|d| vs xla artifact:",
       float(jnp.abs(o2 - o1).max()))
 PYEOF
 
+# ---- r5: service-level serving bench (live vs artifact vs HTTP) ----
+# pallas = the fused-kernel serving path; jax = the portable-artifact
+# path.  Quantifies the artifact + daemon overhead on the real chip.
+timeout 1800 python scripts/bench_serving.py --impl pallas 2>&1 | tail -1
+timeout 1800 python scripts/bench_serving.py --impl jax 2>&1 | tail -1
+
 # ---- r5: serving daemon on-chip smoke ----
 # export a tpu-lowered artifact, serve it via the daemon on the TPU
 # backend, and round-trip one /predict through HTTP.
