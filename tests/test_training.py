@@ -94,15 +94,6 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_train_cli(tmp_path):
-    import train as train_cli
-    result = train_cli.main([
-        "--model", "pointnet_cls", "--epoch", "1", "--batch_size", "8",
-        "--npoint", "64", "--num_class", "4", "--train_size", "16",
-        "--test_size", "8", "--log_dir", str(tmp_path), "--no_checkpoint"])
-    assert "instance_acc" in result
-
-
 def test_eval_cli_roundtrip(tmp_path):
     """train.py -> test.py: best-checkpoint restore (orbax best_fn),
     sharded restore placement on the 8-device mesh, votes, and a test
