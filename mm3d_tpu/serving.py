@@ -202,10 +202,24 @@ def make_server(service: PredictionService, host: str = "127.0.0.1",
                 metrics.observe(False, 0, time.monotonic() - t0)
                 self._json(code, {"error": msg})
 
-            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                if n < 0:
+                    raise ValueError(f"bad Content-Length {n}")
+            except ValueError as e:  # malformed/negative header -> 400
+                fail(400, str(e) or "bad Content-Length")
+                return
             if n > max_body:
-                # don't read the body: 413 and let the client retry
-                # in chunks (the server pads/chunks batches anyway)
+                # never hold the oversized body in memory, but DO drain
+                # it in small discarded chunks before responding — a
+                # mid-upload close would surface to the client as a
+                # connection reset instead of this 413 envelope
+                left = n
+                while left > 0:
+                    got = self.rfile.read(min(left, 1 << 16))
+                    if not got:
+                        break
+                    left -= len(got)
                 fail(413, f"request body {n} B > limit {max_body} B")
                 return
             try:

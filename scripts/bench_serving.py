@@ -64,6 +64,12 @@ def main(argv=None):
     from mm3d_tpu.utils.profiling import chain_time
 
     enable_compilation_cache()
+    if a.impl == "pallas" and jax.default_backend() not in ("tpu", "axon"):
+        # off-TPU the kernels auto-route to interpret mode — the JSON
+        # would report a 'pallas' number that measures emulation (the
+        # same bug class test.py --export guards against)
+        raise SystemExit("--impl pallas needs a TPU backend; this host "
+                         f"is {jax.default_backend()!r}")
     spec = get_model(a.model)
     model = spec.builder(num_class=a.num_class)
     r = np.random.RandomState(0)

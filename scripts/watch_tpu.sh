@@ -13,8 +13,10 @@ MAX_HOURS=${1:-11}
 DEADLINE=$(( $(date +%s) + MAX_HOURS * 3600 ))
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  # nice -19: a probe must not skew suite/bench timings on the 1-core host
-  if nice -n 19 timeout 120 python -c "import jax; assert jax.devices()[0].platform == 'tpu'" 2>/dev/null; then
+  # nice -19: a probe must not skew suite/bench timings on the 1-core host.
+  # the axon plugin registers the backend as 'axon' (run_tpu_checks.py
+  # accepts both) — matching only 'tpu' would never fire
+  if nice -n 19 timeout 120 python -c "import jax; assert jax.devices()[0].platform in ('tpu', 'axon')" 2>/dev/null; then
     echo "TPU BACK at $(date -u '+%Y-%m-%d %H:%M:%S UTC')"
     exit 0
   fi

@@ -249,10 +249,21 @@ def test_http_serving_daemon(tmp_path):
             except urllib.error.HTTPError as e:
                 assert e.code == 400 and "error" in json.loads(e.read())
 
-        # /metrics: 3 ok predicts (8+3+19 clouds), 2 errors so far
+        # malformed Content-Length header -> clean 400, not a handler
+        # crash (urllib can't send one, so use http.client raw)
+        import http.client
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "notanumber")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400 and "error" in json.loads(resp.read())
+        conn.close()
+
+        # /metrics: 3 ok predicts (8+3+19 clouds), 3 errors so far
         with urllib.request.urlopen(f"{base}/metrics") as resp:
             m = json.loads(resp.read())
-        assert m["requests_total"] == 5 and m["errors_total"] == 2
+        assert m["requests_total"] == 6 and m["errors_total"] == 3
         assert m["clouds_total"] == 8 + 3 + 19
         assert m["latency_s"]["p50"] is not None
 

@@ -86,10 +86,13 @@ def test_train_mode_updates_batch_stats_and_dropout_is_stochastic():
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaf)
     (out2, _), _ = tr_fwd(jax.random.PRNGKey(3))
     assert not np.allclose(np.asarray(out1), np.asarray(out2))  # dropout active
-    # eval mode is deterministic (same compiled program, same inputs)
-    ev = jax.jit(lambda: model.apply(variables, pts, train=False))
-    (e1, _) = ev()
-    (e2, _) = ev()
+    # eval mode is deterministic: the output must be independent of the
+    # dropout rng (replaying one zero-arg program twice would be
+    # vacuous — vary the key so dropout-in-eval would actually fail)
+    ev = jax.jit(lambda k: model.apply(variables, pts, train=False,
+                                       rngs={"dropout": k}))
+    (e1, _) = ev(jax.random.PRNGKey(11))
+    (e2, _) = ev(jax.random.PRNGKey(23))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
