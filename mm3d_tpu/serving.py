@@ -94,13 +94,12 @@ class PredictionService:
 
     def predict(self, *arrays: np.ndarray) -> np.ndarray:
         """Run the artifact; pads/chunks to its fixed batch if needed."""
-        if len(arrays) != len(self.in_avals):
-            raise ValueError(f"expected {len(self.in_avals)} inputs "
-                             f"(arg0..arg{len(self.in_avals) - 1}), "
-                             f"got {len(arrays)}")
-        arrays = [np.asarray(x, np.dtype(a.dtype))
-                  for x, a in zip(arrays, self.in_avals)]
+        # validate (incl. arity) BEFORE the dtype cast: the cast zips
+        # with in_avals, which would silently truncate on wrong arity
+        arrays = [np.asarray(x) for x in arrays]
         self._check(arrays)
+        arrays = [x.astype(np.dtype(a.dtype), copy=False)
+                  for x, a in zip(arrays, self.in_avals)]
         b = arrays[0].shape[0]
         if self.batch is None or b == self.batch:
             return np.asarray(self._fn(*arrays))

@@ -154,11 +154,16 @@ def _eval_scene(a, trainer, npoint):
     # exists — a real directory called ./area stays reachable
     if a.scene == "area" and not os.path.exists(a.scene):
         # the reference test_semseg flow: score the HELD-OUT area's
-        # rooms from the dataset tree (--dataset s3dis --data_root X
-        # --test_area N); a bare directory would score train rooms too
-        if a.dataset != "s3dis" or not a.data_root:
-            raise SystemExit("--scene area requires --dataset s3dis "
-                             "and --data_root")
+        # rooms from the dataset tree (--data_root X --test_area N); a
+        # bare directory would score train rooms too.  Only --data_root
+        # is required — demanding --dataset s3dis made the mode
+        # unreachable for fusion_semseg models (s3dis maps to the
+        # semseg task only; code-review r5), and an area tree is
+        # S3DIS-layout by definition
+        if not a.data_root:
+            raise SystemExit("--scene area requires --data_root "
+                             "(the S3DIS-layout tree holding the "
+                             "Area_N rooms)")
         from mm3d_tpu.data.loaders import s3dis_room_in_area
         scene_dir = a.data_root
         room_filter = (lambda f: f.endswith((".npy", ".npz"))
@@ -170,7 +175,7 @@ def _eval_scene(a, trainer, npoint):
                              f"in {scene_dir}")
         cm = np.zeros((13, 13), np.int64)
         cov_pts = total_pts = 0
-        labeled = True
+        unlabeled = []
         for name in rooms:
             xyz, rgb, labels = _load_room(os.path.join(scene_dir, name))
             pred, m = run(xyz, rgb, labels)
@@ -179,12 +184,19 @@ def _eval_scene(a, trainer, npoint):
             cov_pts += m["coverage"] * len(xyz)
             total_pts += len(xyz)
             if room_cm is None:
-                labeled = False
+                unlabeled.append(name)
             else:
                 cm += room_cm
+        if unlabeled and len(unlabeled) < len(rooms):
+            # a MIX of labeled and unlabeled rooms means the area
+            # metrics would silently drop the labeled rooms' scores —
+            # fail loudly naming the offenders (code-review r5)
+            raise SystemExit(
+                f"--scene {a.scene}: {len(unlabeled)} room(s) without a "
+                f"label column alongside labeled ones: {unlabeled}")
         out = {"rooms": len(rooms),
                "coverage": cov_pts / max(total_pts, 1)}
-        if labeled:
+        if not unlabeled:
             out.update(scene_eval.metrics_from_confusion(cm))
         return out
     xyz, rgb, labels = _load_room(a.scene)
@@ -208,7 +220,18 @@ def main(argv=None):
         log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False,
         eval_dtype=a.dtype)
     from train import build_cli_datasets
-    _, test_ds = build_cli_datasets(a, spec.task,
+    ds_args = a
+    if a.scene:
+        # scene mode loads its rooms itself (from --scene / the
+        # --data_root area tree); the trainer's test_ds only provides
+        # init shapes here, so build it synthetic — otherwise
+        # `--scene area --dataset s3dis` on a fusion_semseg model dies
+        # in the dataset/task guard before _eval_scene runs
+        # (code-review r5)
+        import copy
+        ds_args = copy.copy(a)
+        ds_args.dataset = "synthetic"
+    _, test_ds = build_cli_datasets(ds_args, spec.task,
                                     a.npoint or spec.default_npoint,
                                     test_only=True)
     trainer = Trainer(cfg, test_ds=test_ds)
@@ -295,10 +318,11 @@ def _export_serving_cli(a, trainer):
             raise SystemExit("--impl pallas exports contain Mosaic "
                              "custom calls: --export_platforms must be "
                              "'tpu'")
-        if platforms is None and jax.default_backend() != "tpu":
-            # without --export_platforms the artifact lowers for THIS
-            # host; off-TPU that would silently bake interpret-mode
-            # kernels into a cpu artifact
+        if jax.default_backend() not in ("tpu", "axon"):
+            # the kernels trace in interpret mode off-TPU, so the
+            # artifact would bake interpreter-emulation HLO REGARDLESS
+            # of what --export_platforms declares (an explicit 'tpu'
+            # label would be a lie; code-review r5)
             raise SystemExit(
                 "--impl pallas export on a non-TPU host: the kernels "
                 "would trace in interpret mode; run on TPU or drop "
