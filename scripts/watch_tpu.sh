@@ -18,6 +18,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   # accepts both) — matching only 'tpu' would never fire
   if nice -n 19 timeout 120 python -c "import jax; assert jax.devices()[0].platform in ('tpu', 'axon')" 2>/dev/null; then
     echo "TPU BACK at $(date -u '+%Y-%m-%d %H:%M:%S UTC')"
+    # capture the driver-visible essentials immediately (bench + quality
+    # gates + sweep + v7 race, ~30-45 min) — the operator follows with
+    # the full scripts/r5_tpu_backlog.sh
+    bash scripts/r5_tpu_quick.sh > log/r5_quick_onchip.log 2>&1
+    echo "r5_tpu_quick.sh done, log/r5_quick_onchip.log written"
     exit 0
   fi
   echo "probe failed at $(date -u '+%Y-%m-%d %H:%M:%S UTC'); sleeping 600s"
