@@ -27,6 +27,16 @@ from mm3d_tpu.utils.checkpoint import CheckpointManager
 from mm3d_tpu.utils.logging_utils import MetricsLogger, create_run_dir
 
 
+
+# per-task headline metric: drives best-checkpoint retention in the
+# Trainer, the in-loop best tracking, and test.py's best-step restore —
+# ONE definition so they cannot drift (code-review r5)
+BEST_METRIC = {"classification": "instance_acc",
+               "partseg": "instance_miou",
+               "semseg": "miou",
+               "fusion_cls": "instance_acc",
+               "fusion_semseg": "miou"}
+
 @dataclasses.dataclass
 class TrainConfig:
     model: str = "pointnet2_cls_ssg"
@@ -43,6 +53,10 @@ class TrainConfig:
     normal_channel: bool = False
     num_class: int = 40
     num_category: int = 16  # partseg categories
+    # semseg/fusion_semseg head size (the lineage hardcodes S3DIS's 13;
+    # custom trees with more label classes need this or labels past the
+    # head turn into silently-wrong metrics via the clamping gather)
+    seg_classes: int = 13
     seed: int = 0
     log_dir: str = "log"
     run_name: Optional[str] = None
@@ -146,19 +160,23 @@ class Trainer:
         elif self.task == "partseg":
             kwargs = {"normal_channel": cfg.normal_channel}
         elif self.task == "semseg":
-            kwargs = {"num_class": 13}
+            kwargs = {"num_class": cfg.seg_classes}
         elif self.task == "fusion_cls":
             kwargs = {"num_class": cfg.num_class,
                       "normal_channel": cfg.normal_channel}
         elif self.task == "fusion_semseg":
-            kwargs = {"num_class": 13}
+            kwargs = {"num_class": cfg.seg_classes}
         eval_model_kwargs = dict(kwargs)
         if cfg.dtype == "bfloat16":
             kwargs["dtype"] = jnp.bfloat16
         try:
             self.model = self.spec.builder(**kwargs)
-        except TypeError:
-            # model family without a compute-dtype knob: train in f32
+        except TypeError as e:
+            # only a missing compute-dtype knob falls back to f32; any
+            # other TypeError is a real construction bug and the bf16
+            # message would misdirect debugging (code-review r5)
+            if "dtype" not in kwargs or "dtype" not in str(e):
+                raise
             kwargs.pop("dtype", None)
             print(f"[mm3d] {cfg.model} has no bf16 mode; training fp32")
             self.model = self.spec.builder(**kwargs)
@@ -172,8 +190,10 @@ class Trainer:
             try:
                 self.eval_model = self.spec.builder(
                     **{**eval_model_kwargs, "dtype": jnp.bfloat16})
-            except TypeError:
+            except TypeError as e:
                 # same fallback as the train-dtype path (ADVICE r2)
+                if "dtype" not in str(e):
+                    raise
                 print(f"[mm3d] {cfg.model} has no bf16 mode; "
                       "evaluating fp32")
                 self.eval_model = self.spec.builder(**eval_model_kwargs)
@@ -217,25 +237,20 @@ class Trainer:
             eval_kwargs = {"part_start": start, "part_count": count,
                            "max_parts": int(count.max())}
         num_eval_classes = {"classification": cfg.num_class,
-                            "partseg": 50, "semseg": 13,
+                            "partseg": 50, "semseg": cfg.seg_classes,
                             "fusion_cls": cfg.num_class,
-                            "fusion_semseg": 13}[self.task]
+                            "fusion_semseg": cfg.seg_classes}[self.task]
         self.eval_step = steps.make_eval_step(
             self.eval_model, self.spec.loss, self.task, num_eval_classes,
-            num_category=cfg.num_category, **eval_kwargs)
+            num_category=cfg.num_category, class_weights=cw, **eval_kwargs)
 
         self.run_dir = create_run_dir(cfg.log_dir, self.task, cfg.run_name)
         self.log = MetricsLogger(self.run_dir)
         self.ckpt = None
         if cfg.checkpoint:
-            best_metric = {"classification": "instance_acc",
-                           "partseg": "instance_miou",
-                           "semseg": "miou",
-                           "fusion_cls": "instance_acc",
-                           "fusion_semseg": "miou"}[self.task]
             self.ckpt = CheckpointManager(
                 os.path.join(self.run_dir, "checkpoints"),
-                best_metric=best_metric)
+                best_metric=BEST_METRIC[self.task])
         self.start_epoch = 0
         if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
             from mm3d_tpu.parallel import replicated_sharding
@@ -245,6 +260,14 @@ class Trainer:
                 self.train_pipe.steps_per_epoch(), 1)
             self.log.info("resumed from step %d (epoch %d)",
                           int(self.state.step), self.start_epoch)
+        elif cfg.resume:
+            # without --run_name, create_run_dir made a FRESH timestamped
+            # dir — silently training from scratch here would discard the
+            # run the user meant to continue (code-review r5)
+            raise SystemExit(
+                f"--resume: no checkpoint found under {self.run_dir}; "
+                "pass --run_name of the run to resume (and keep "
+                "checkpointing enabled)")
 
     def _example_batch(self, ds):
         from mm3d_tpu.data.pipeline import _default_collate
@@ -275,9 +298,12 @@ class Trainer:
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
         losses, accs = [], []
         t0 = time.time()
+        last = self.train_pipe.steps_per_epoch()
         for i, batch in enumerate(self.train_pipe.epoch(epoch)):
             self.state, m = self.train_step(self.state, batch, lr, bn_m, key)
-            if (i + 1) % cfg.log_every == 0:
+            # always record the final step too: epochs shorter than
+            # log_every would otherwise report no train loss at all
+            if (i + 1) % cfg.log_every == 0 or (i + 1) == last:
                 losses.append(float(m["loss"]))
                 accs.append(float(m["accuracy"]))
         dt = time.time() - t0
@@ -343,10 +369,7 @@ class Trainer:
 
     def fit(self) -> dict:
         best = -1.0
-        best_key = {"classification": "instance_acc",
-                    "partseg": "instance_miou", "semseg": "miou",
-                    "fusion_cls": "instance_acc",
-                    "fusion_semseg": "miou"}[self.task]
+        best_key = BEST_METRIC[self.task]
         final_eval = {}
         for epoch in range(self.start_epoch, self.cfg.epochs):
             tm = self.train_epoch(epoch)

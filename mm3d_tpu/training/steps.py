@@ -29,7 +29,9 @@ def _split_variables(state: TrainState):
 def _apply_train(model, state, key, args, bn_momentum,
                  fps_random_start: bool = False):
     variables = _split_variables(state)
-    mutable = ["batch_stats"] if state.batch_stats else []
+    # False, not []: flax returns (out, {}) for mutable=[] too, which
+    # would mis-unpack in the no-batch-stats branch below
+    mutable = ["batch_stats"] if state.batch_stats else False
     rngs = {"dropout": key}
     if fps_random_start:
         # lineage-parity random-start FPS: an extra "fps" RNG stream the
@@ -148,7 +150,7 @@ def make_bn_refresh_step(model, task: str,
 def make_eval_step(model, loss_fn, task: str, num_classes: int,
                    num_category: int = 16,
                    part_start=None, part_count=None,
-                   max_parts: int = 6) -> Callable:
+                   max_parts: int = 6, class_weights=None) -> Callable:
     """Returns jitted (state, batch[, valid]) -> per-batch metric pieces.
 
     classification -> dict(loss, correct, cm [C,C])
@@ -174,6 +176,10 @@ def make_eval_step(model, loss_fn, task: str, num_classes: int,
         vm = (jnp.ones((B,), jnp.int32) if valid is None
               else valid.astype(jnp.int32))
         lkw = {"row_mask": vm} if _mask_loss else {}
+        if class_weights is not None:
+            # keep eval_loss comparable with the weighted train loss
+            # (code-review r5: it was silently unweighted)
+            lkw["weight"] = class_weights
 
         def scalar_metrics(log_probs, target, aux):
             # target [B] (cls) or [B,N] (per-point); mask rows by vm
@@ -236,27 +242,36 @@ def make_vote_partseg_step(model, num_votes: int, num_category: int,
 
     def step(state: TrainState, points, cat, key):
         variables = _split_variables(state)
-        B, N, _ = points.shape
         onehot = jax.nn.one_hot(cat, num_category, dtype=points.dtype)
 
         def probs_of(pts):
             log_probs, _ = model.apply(variables, pts, onehot, train=False)
             return jnp.exp(log_probs)
 
-        def one_vote(i, acc):
-            k = jax.random.fold_in(key, i)
-            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-                jax.random.split(k, B))  # [B,N]
-            shuffled = jnp.take_along_axis(points, perm[..., None], axis=1)
-            p = probs_of(shuffled)
-            inv = jnp.argsort(perm, axis=1)
-            return acc + jnp.take_along_axis(p, inv[..., None], axis=1)
-
-        probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
+        probs = _shuffle_vote_probs(probs_of, points, num_votes, key)
         ps, pc = part_start[cat], part_count[cat]
         return M.masked_part_argmax(jnp.log(probs + 1e-12), ps, pc)
 
     return jax.jit(step)
+
+
+def _shuffle_vote_probs(probs_of, points, num_votes, key):
+    """Shared shuffle-vote accumulator (partseg + fusion_semseg):
+    permuting the point order changes the FPS seed point and therefore
+    the groupings; per-point probabilities are un-shuffled and summed
+    over `num_votes` passes (vote 0 = the original order)."""
+    B, N = points.shape[:2]
+
+    def one_vote(i, acc):
+        k = jax.random.fold_in(key, i)
+        perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
+            jax.random.split(k, B))  # [B,N]
+        shuffled = jnp.take_along_axis(points, perm[..., None], axis=1)
+        p = probs_of(shuffled)
+        inv = jnp.argsort(perm, axis=1)
+        return acc + jnp.take_along_axis(p, inv[..., None], axis=1)
+
+    return jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
 
 
 def make_vote_fusion_cls_step(model, num_votes: int = 3) -> Callable:
@@ -302,23 +317,13 @@ def make_vote_fusion_semseg_step(model, num_votes: int = 3) -> Callable:
 
     def step(state: TrainState, points, image, K, R, t, key):
         variables = _split_variables(state)
-        B, N, _ = points.shape
 
         def probs_of(pts):
             log_probs, _ = model.apply(variables, pts, image, K, R, t,
                                        train=False)
             return jnp.exp(log_probs)
 
-        def one_vote(i, acc):
-            k = jax.random.fold_in(key, i)
-            perm = jax.vmap(lambda kk: jax.random.permutation(kk, N))(
-                jax.random.split(k, B))  # [B,N]
-            shuffled = jnp.take_along_axis(points, perm[..., None], axis=1)
-            p = probs_of(shuffled)
-            inv = jnp.argsort(perm, axis=1)
-            return acc + jnp.take_along_axis(p, inv[..., None], axis=1)
-
-        probs = jax.lax.fori_loop(1, num_votes, one_vote, probs_of(points))
+        probs = _shuffle_vote_probs(probs_of, points, num_votes, key)
         return jnp.argmax(probs, -1).astype(jnp.int32)
 
     return jax.jit(step)

@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--npoint", type=int, default=None)
     p.add_argument("--normal", action="store_true")
     p.add_argument("--num_class", type=int, default=40)
+    p.add_argument("--seg_classes", type=int, default=13,
+                   help="semseg/fusion_semseg head size (lineage S3DIS "
+                        "default 13; custom trees with more label "
+                        "classes must set this)")
     p.add_argument("--num_votes", type=int, default=1)
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -122,7 +126,8 @@ def _eval_scene(a, trainer, npoint):
         raise SystemExit("--scene requires a semseg or fusion_semseg model")
     model = trainer.eval_model
     variables = _split_variables(trainer.state)
-    common = dict(num_classes=13, npoints=npoint,
+    common = dict(num_classes=trainer.cfg.seg_classes,
+                  npoints=npoint,
                   block_size=a.block_size, stride=a.stride,
                   batch_size=a.batch_size, seed=a.seed,
                   num_votes=a.num_votes)
@@ -173,7 +178,8 @@ def _eval_scene(a, trainer, npoint):
         if not rooms:
             raise SystemExit(f"--scene {a.scene}: no matching rooms "
                              f"in {scene_dir}")
-        cm = np.zeros((13, 13), np.int64)
+        nc = trainer.cfg.seg_classes
+        cm = np.zeros((nc, nc), np.int64)
         cov_pts = total_pts = 0
         unlabeled = []
         for name in rooms:
@@ -216,7 +222,8 @@ def main(argv=None):
     cfg = TrainConfig(
         model=a.model, batch_size=a.batch_size,
         npoint=a.npoint or spec.default_npoint, normal_channel=a.normal,
-        num_class=a.num_class, seed=a.seed, test_size=a.test_size,
+        num_class=a.num_class, seg_classes=a.seg_classes,
+        seed=a.seed, test_size=a.test_size,
         log_dir=os.path.join(a.log_dir, "eval"), checkpoint=False,
         eval_dtype=a.dtype)
     from train import build_cli_datasets
@@ -242,10 +249,8 @@ def main(argv=None):
     else:
         # restore from the given run dir
         from mm3d_tpu.utils.checkpoint import CheckpointManager
-        best_metric = {"classification": "instance_acc",
-                       "partseg": "instance_miou", "semseg": "miou",
-                       "fusion_cls": "instance_acc",
-                       "fusion_semseg": "miou"}[trainer.task]
+        from mm3d_tpu.training.loop import BEST_METRIC
+        best_metric = BEST_METRIC[trainer.task]
         # best_metric must be passed or orbax's best_step() silently
         # degrades to latest_step() (no best_fn -> no best tracking)
         ckpt = CheckpointManager(os.path.join(a.log_dir, "checkpoints"),

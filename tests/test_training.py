@@ -94,6 +94,32 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_resume_without_checkpoint_fails_loudly(tmp_path):
+    """--resume pointed at a fresh run dir must not silently train from
+    scratch (code-review r5): create_run_dir makes a new timestamped
+    dir when --run_name is absent, so latest_step() is None."""
+    cfg = _tiny_cfg(tmp_path, "pointnet_cls", npoint=32, batch_size=2,
+                    train_size=4, test_size=2, num_class=2,
+                    checkpoint=True, resume=True, run_name="never_ran")
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        Trainer(cfg)
+
+
+def test_seg_classes_sizes_head_and_confusion(tmp_path):
+    """TrainConfig.seg_classes sizes the semseg head + eval confusion
+    matrix (was hardcoded 13; code-review r5)."""
+    import jax
+    cfg = _tiny_cfg(tmp_path, "pointnet_sem_seg", npoint=32, batch_size=2,
+                    train_size=2, test_size=2, seg_classes=20)
+    tr = Trainer(cfg)
+    head = jax.tree_util.tree_map(lambda x: x.shape,
+                                  tr.state.params["head_mlp"])
+    out_kernel = tr.state.params["head_out"]["kernel"]
+    assert out_kernel.shape[-1] == 20, (head, out_kernel.shape)
+    m = tr.eval_step(tr.state, tr._example_batch(tr.test_pipe.dataset))
+    assert m["cm"].shape == (20, 20)
+
+
 def test_eval_cli_roundtrip(tmp_path):
     """train.py -> test.py: best-checkpoint restore (orbax best_fn),
     sharded restore placement on the 8-device mesh, votes, and a test

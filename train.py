@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--normal", action="store_true",
                    help="use normals as extra channels")
     p.add_argument("--num_class", type=int, default=40)
+    p.add_argument("--seg_classes", type=int, default=13,
+                   help="semseg/fusion_semseg head size (lineage S3DIS "
+                        "default 13; custom trees with more label "
+                        "classes must set this)")
     p.add_argument("--log_dir", default="log")
     p.add_argument("--run_name", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -154,7 +158,8 @@ def main(argv=None):
         npoint=a.npoint or spec.default_npoint,
         learning_rate=a.learning_rate, optimizer=a.optimizer,
         weight_decay=a.decay_rate, lr_step=a.lr_step, lr_gamma=a.lr_gamma,
-        normal_channel=a.normal, num_class=a.num_class, seed=a.seed,
+        normal_channel=a.normal, num_class=a.num_class,
+        seg_classes=a.seg_classes, seed=a.seed,
         log_dir=a.log_dir, run_name=a.run_name, train_size=a.train_size,
         test_size=a.test_size, resume=a.resume,
         checkpoint=not a.no_checkpoint, dtype=a.dtype,
