@@ -110,6 +110,11 @@ class ModelNetDataset:
             data = data[idx]
         else:
             data = data[: self.npoints]
+        if data.shape[0] < self.npoints:
+            # short shape file: wrap-pad rows so batches stay fixed-shape
+            # (ShapeNetPart/S3DIS resample with replacement; ModelNet had
+            # no pad and produced ragged np.stack — code-review r5)
+            data = data[np.resize(np.arange(data.shape[0]), self.npoints)]
         pts = data[:, : 6 if self.normals else 3].copy()
         pts[:, :3] = pc_normalize(pts[:, :3])
         sample = (pts.astype(np.float32), label)
@@ -146,10 +151,12 @@ class ShapeNetPartDataset(_EpochSeeded):
     """
 
     def __init__(self, root: str, split: str = "train", npoints: int = 2048,
-                 normals: bool = False):
+                 normals: bool = False, cache_size: int = 15000):
         self.root = root
         self.npoints = npoints
         self.normals = normals
+        self._cache = {}
+        self._cache_size = cache_size
         cat_file = os.path.join(root, "synsetoffset2category.txt")
         self.categories = []  # (name, synset)
         for line in open(cat_file):
@@ -175,15 +182,27 @@ class ShapeNetPartDataset(_EpochSeeded):
 
     def __getitem__(self, index: int):
         path, cat = self.items[index]
-        data = _parse_float_table(path, 7)
+        cached = self._cache.get(index)
+        if cached is None:
+            data = _parse_float_table(path, 7)
+            # reference order: pc_normalize the FULL cloud, THEN draw
+            # the subsample — normalizing the 2048-point draw made the
+            # centroid/scale vary per epoch and diverge from lineage
+            # checkpoints (code-review r5).  Normalize-first also makes
+            # the parsed cloud fully cacheable (only `choice` varies).
+            data = data.copy()
+            data[:, :3] = pc_normalize(data[:, :3])
+            if len(self._cache) < self._cache_size:
+                self._cache[index] = data
+        else:
+            data = cached
         n = data.shape[0]
         choice = self._rng(index).choice(
             n, self.npoints, replace=n < self.npoints)
         data = data[choice]
-        pts = data[:, : 6 if self.normals else 3].copy()
-        pts[:, :3] = pc_normalize(pts[:, :3])
+        pts = data[:, : 6 if self.normals else 3].astype(np.float32)
         seg = data[:, 6].astype(np.int32)
-        return pts.astype(np.float32), cat, seg
+        return pts, cat, seg
 
 
 
@@ -317,6 +336,14 @@ def build_real_datasets(dataset: str, root: str, task: str,
                 f"--dataset multimodal needs {root}/views_{split}/ or "
                 f"{root}/views/ (per-sample <index>.npz with "
                 "image/K/R/t); neither exists")
+        if "train" in splits and "test" in splits:
+            # views/<index>.npz is keyed by split-LOCAL index: one
+            # shared dir serving both splits pairs train[i] and test[i]
+            # with the same view — silent mispairing (code-review r5)
+            raise FileNotFoundError(
+                f"{d} cannot serve both splits (per-split indices "
+                f"collide); provide {root}/views_train/ and "
+                f"{root}/views_test/")
         return d
 
     if dataset == "modelnet40":
@@ -353,6 +380,13 @@ class MultimodalPairedDataset:
     def __init__(self, base, views_dir: str):
         self.base = base
         self.views_dir = views_dir
+
+    def set_epoch(self, epoch: int):
+        # forward the pipeline's per-epoch reseeding to the base point
+        # dataset — without this, fusion training on real data silently
+        # lost per-epoch resampling (code-review r5)
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
 
     def __len__(self):
         return len(self.base)

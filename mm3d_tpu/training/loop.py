@@ -247,14 +247,30 @@ class Trainer:
         self.run_dir = create_run_dir(cfg.log_dir, self.task, cfg.run_name)
         self.log = MetricsLogger(self.run_dir)
         self.ckpt = None
+        self.ckpt_latest = None
         if cfg.checkpoint:
             self.ckpt = CheckpointManager(
                 os.path.join(self.run_dir, "checkpoints"),
                 best_metric=BEST_METRIC[self.task])
+            # best_fn retention keeps the top-metric checkpoints, NOT
+            # the newest — when the best epochs come early, the latest
+            # save gets garbage-collected and --resume silently rolls
+            # training back (code-review r5).  A size-1 latest manager
+            # pins the newest state for resume; test.py keeps restoring
+            # best from checkpoints/.
+            self.ckpt_latest = CheckpointManager(
+                os.path.join(self.run_dir, "checkpoints_latest"),
+                max_to_keep=1)
+        resume_from = None
+        if cfg.resume and self.ckpt_latest is not None:
+            if self.ckpt_latest.latest_step() is not None:
+                resume_from = self.ckpt_latest
+            elif self.ckpt.latest_step() is not None:
+                resume_from = self.ckpt  # pre-latest-manager run dirs
         self.start_epoch = 0
-        if cfg.resume and self.ckpt and self.ckpt.latest_step() is not None:
+        if resume_from is not None:
             from mm3d_tpu.parallel import replicated_sharding
-            self.state = self.ckpt.restore(
+            self.state = resume_from.restore(
                 self.state, sharding=replicated_sharding(self.mesh))
             self.start_epoch = int(self.state.step) // max(
                 self.train_pipe.steps_per_epoch(), 1)
@@ -381,9 +397,11 @@ class Trainer:
                 if self.ckpt:
                     self.ckpt.save(int(self.state.step), self.state,
                                    metrics={best_key: em[best_key]})
+                    self.ckpt_latest.save(int(self.state.step), self.state)
                 if em[best_key] > best:
                     best = em[best_key]
         if self.ckpt:
             self.ckpt.wait()
+            self.ckpt_latest.wait()
         final_eval[f"best_{best_key}"] = best
         return final_eval

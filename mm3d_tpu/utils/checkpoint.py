@@ -31,9 +31,14 @@ class CheckpointManager:
         self._mngr = ocp.CheckpointManager(directory, options=opts)
 
     def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+        # None stays None: with best_fn configured, an EMPTY metrics
+        # dict would reach best_fn and KeyError inside orbax's
+        # best-checkpoint ranking (code-review r5); None engages
+        # keep_checkpoints_without_metrics instead
         self._mngr.save(
             step, args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()})
+            metrics=(None if metrics is None else
+                     {k: float(v) for k, v in metrics.items()}))
 
     def restore(self, state_template: Any, step: Optional[int] = None,
                 sharding=None) -> Any:

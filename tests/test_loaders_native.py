@@ -163,3 +163,18 @@ def test_s3dis_area_match_is_delimited(tmp_path):
                               test_area=1, samples_per_room=1)
     assert len(te.rooms) == 1 and "Area_1_office" in te.rooms[0]
     assert len(tr.rooms) == 1 and "Area_10_office" in tr.rooms[0]
+
+
+def test_modelnet_short_file_pads_to_npoints(tmp_path):
+    """A shape file with fewer rows than npoints wrap-pads instead of
+    yielding a ragged sample (code-review r5: np.stack raised or N
+    silently shrank)."""
+    _write_modelnet(str(tmp_path), rows=16)
+    from mm3d_tpu.data.loaders import ModelNetDataset
+    for uniform in (False, True):
+        ds = ModelNetDataset(str(tmp_path), "train", npoints=32,
+                             uniform_sample=uniform)
+        pts, label = ds[0]
+        assert pts.shape == (32, 3)
+        # wrap-pad duplicates the early rows
+        np.testing.assert_array_equal(pts[:16], pts[16:])

@@ -94,7 +94,29 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_resume_without_checkpoint_fails_loudly(tmp_path):
+def test_latest_manager_pins_newest_for_resume(tmp_path):
+    """best_fn retention keeps top-METRIC checkpoints, not the newest:
+    when the best epoch comes early, the last save can be GC'd and
+    resume would roll back.  The Trainer's size-1 latest manager pins
+    the newest state (code-review r5)."""
+    from mm3d_tpu.utils.checkpoint import CheckpointManager
+
+    best = CheckpointManager(str(tmp_path / "checkpoints"),
+                             max_to_keep=1, best_metric="acc")
+    latest = CheckpointManager(str(tmp_path / "checkpoints_latest"),
+                               max_to_keep=1)
+    s1 = {"x": np.full(4, 1.0, np.float32)}
+    s2 = {"x": np.full(4, 2.0, np.float32)}
+    best.save(1, s1, {"acc": 0.9})
+    latest.save(1, s1)
+    best.save(2, s2, {"acc": 0.1})  # worse metric: best-GC target
+    latest.save(2, s2)
+    best.wait()
+    latest.wait()
+    assert best.best_step() == 1
+    assert latest.latest_step() == 2  # the resume anchor survives
+    got = latest.restore({"x": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(got["x"], s2["x"])
     """--resume pointed at a fresh run dir must not silently train from
     scratch (code-review r5): create_run_dir makes a new timestamped
     dir when --run_name is absent, so latest_step() is None."""
