@@ -134,12 +134,14 @@ def random_point_dropout(key, batch, max_dropout_ratio=0.875):
 
 
 def shuffle_points(key, batch):
-    """Random permutation of the point axis (same permutation per cloud
-    is NOT used — each cloud gets its own, matching the lineage)."""
-    b, n, _ = batch.shape
-    keys = jax.random.split(key, b)
-    perm = jax.vmap(lambda k: jax.random.permutation(k, n))(keys)  # [B,N]
-    return jnp.take_along_axis(batch, perm[..., None], axis=1)
+    """Random permutation of the point axis — ONE permutation shared by
+    the whole batch, exactly the lineage's provider.shuffle_points
+    ("use the same shuffling idx for the entire batch"); the previous
+    per-cloud variant contradicted its own lineage-parity claim
+    (code-review r5)."""
+    n = batch.shape[1]
+    perm = jax.random.permutation(key, n)
+    return batch[:, perm, :]
 
 
 def pc_normalize(batch):

@@ -441,6 +441,17 @@ def render_depth_image(xyz, K, R, t, hw=(64, 64)):
     return img
 
 
+
+def random_viewpoint_extrinsics(rng):
+    """The multimodal pairing's random camera pose (radius 2.5,
+    elevation 0.45, uniform azimuth).  ONE definition — the whole-room
+    tiler (training/scene_eval.render_block_views) must render from the
+    same view distribution the fusion models trained on, and a copied
+    constant silently drifts (code-review r5)."""
+    theta = rng.uniform(0, 2 * np.pi)
+    eye = 2.5 * np.array([np.cos(theta), 0.45, np.sin(theta)])
+    return look_at_extrinsics(eye.astype(np.float32))
+
 def default_intrinsics(hw=(64, 64), fov_deg=60.0):
     H, W = hw
     f = 0.5 * W / np.tan(np.radians(fov_deg) / 2)
@@ -483,9 +494,7 @@ class SyntheticMultimodal:
             pts, cat, seg = sample  # partseg base
             label = cat
         xyz = pts[:, :3]
-        theta = rng.uniform(0, 2 * np.pi)
-        eye = 2.5 * np.array([np.cos(theta), 0.45, np.sin(theta)])
-        R, t = look_at_extrinsics(eye.astype(np.float32))
+        R, t = random_viewpoint_extrinsics(rng)
         img = render_depth_image(xyz, self.K, R, t, self.hw)
         out = {"points": pts, "image": img, "K": self.K, "R": R, "t": t,
                "label": np.int32(label)}

@@ -35,7 +35,11 @@ def sharded_fps(xyz: jax.Array, npoint: int, mesh: Mesh,
     """
     B, N, _ = xyz.shape
     n_shards = mesh.shape[axis]
-    assert N % n_shards == 0, (N, n_shards)
+    if N % n_shards:
+        # public API: a bare assert vanishes under python -O and leaves
+        # an opaque shard_map partition error instead
+        raise ValueError(f"N={N} not divisible by mesh axis "
+                         f"{axis!r}={n_shards}")
     tile = N // n_shards
 
     def local_fps(xyz_tile):

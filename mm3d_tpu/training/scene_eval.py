@@ -20,15 +20,63 @@ import numpy as np
 from mm3d_tpu.utils import metrics as M
 
 
+def block_point_lists(xyz: np.ndarray, block_size: float = 1.0,
+                      stride: float = 0.5):
+    """Seed-independent tiling: the per-block point-index lists.
+
+    Candidate prefilter via stride-cell binning — O(N + blocks·cand)
+    instead of a full N-point mask per grid cell (O(blocks·N): minutes
+    of pure host stall on ~1M-point rooms, repeated per vote).  The
+    exact bounds test on the candidates keeps selection identical; ±1
+    cell of slack absorbs float-boundary effects.  Only EMPTY blocks
+    are skipped (the reference convention — a 16-point floor silently
+    zero-voted sparse-region points into class 0; code-review r5).
+    """
+    xmin, ymin = float(xyz[:, 0].min()), float(xyz[:, 1].min())
+    xs = np.arange(xmin, xyz[:, 0].max() + 1e-6, stride)
+    ys = np.arange(ymin, xyz[:, 1].max() + 1e-6, stride)
+    cx = np.floor((xyz[:, 0] - xmin) / stride).astype(np.int64)
+    cy = np.floor((xyz[:, 1] - ymin) / stride).astype(np.int64)
+    ncy = int(cy.max()) + 2
+    keys = cx * ncy + cy
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    uniq, starts = np.unique(sk, return_index=True)
+    bounds = np.append(starts, len(sk))
+    cells = {int(u): order[s:e]
+             for u, s, e in zip(uniq, bounds[:-1], bounds[1:])}
+    r = int(np.ceil(block_size / stride)) + 1
+    sels = []
+    for a, x0 in enumerate(xs):
+        for b, y0 in enumerate(ys):
+            cand = [cells[c] for c in
+                    (ccx * ncy + ccy
+                     for ccx in range(a - 1, a + r)
+                     for ccy in range(b - 1, b + r)) if c in cells]
+            if not cand:
+                continue
+            cand = np.concatenate(cand)
+            cm = ((xyz[cand, 0] >= x0) & (xyz[cand, 0] < x0 + block_size)
+                  & (xyz[cand, 1] >= y0) & (xyz[cand, 1] < y0 + block_size))
+            sel = np.sort(cand[cm])
+            if len(sel):
+                sels.append(sel)
+    return sels
+
+
 def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
                npoints: int = 4096, block_size: float = 1.0,
-               stride: float = 0.5, seed: int = 0):
+               stride: float = 0.5, seed: int = 0, block_lists=None):
     """Tile a room into overlapping blocks of exactly `npoints` points.
 
     Returns (features [nblocks, npoints, 9], point_idx [nblocks, npoints])
     where point_idx maps each block row back to the original point id
     (points are re-sampled with replacement when a block is small, so a
     point can appear several times — votes accumulate).
+
+    `block_lists` (from `block_point_lists`) can be precomputed once and
+    reused across votes — block membership is seed-independent; only the
+    per-block subsampling varies with `seed`.
     """
     from mm3d_tpu.data.loaders import semseg_block_features
     rng = np.random.RandomState(seed)
@@ -38,29 +86,23 @@ def tile_scene(xyz: np.ndarray, rgb: Optional[np.ndarray],
         rgb = np.zeros_like(xyz)
     if rgb.max() > 1.5:
         rgb = rgb / 255.0
-    xs = np.arange(xyz[:, 0].min(), xyz[:, 0].max() + 1e-6, stride)
-    ys = np.arange(xyz[:, 1].min(), xyz[:, 1].max() + 1e-6, stride)
+    if block_lists is None:
+        block_lists = block_point_lists(xyz, block_size, stride)
     feats_l, idx_l = [], []
-    for x0 in xs:
-        for y0 in ys:
-            mask = ((xyz[:, 0] >= x0) & (xyz[:, 0] < x0 + block_size)
-                    & (xyz[:, 1] >= y0) & (xyz[:, 1] < y0 + block_size))
-            sel = np.where(mask)[0]
-            if len(sel) < 16:
-                continue
-            # cover EVERY point in the block: shuffle and emit
-            # ceil(n/npoints) tiles, padding the last by resampling
-            sel = rng.permutation(sel)
-            nchunks = max(1, int(np.ceil(len(sel) / npoints)))
-            for c in range(nchunks):
-                choice = sel[c * npoints:(c + 1) * npoints]
-                if len(choice) < npoints:
-                    extra = rng.choice(sel, npoints - len(choice),
-                                       replace=len(sel) < npoints)
-                    choice = np.concatenate([choice, extra])
-                feats_l.append(semseg_block_features(
-                    xyz[choice], rgb[choice], room_min, room_extent))
-                idx_l.append(choice.astype(np.int32))
+    for sel in block_lists:
+        # cover EVERY point in the block: shuffle and emit
+        # ceil(n/npoints) tiles, padding the last by resampling
+        sel = rng.permutation(sel)
+        nchunks = max(1, int(np.ceil(len(sel) / npoints)))
+        for c in range(nchunks):
+            choice = sel[c * npoints:(c + 1) * npoints]
+            if len(choice) < npoints:
+                extra = rng.choice(sel, npoints - len(choice),
+                                   replace=len(sel) < npoints)
+                choice = np.concatenate([choice, extra])
+            feats_l.append(semseg_block_features(
+                xyz[choice], rgb[choice], room_min, room_extent))
+            idx_l.append(choice.astype(np.int32))
     if not feats_l:
         raise ValueError("scene produced no blocks")
     return np.stack(feats_l), np.stack(idx_l)
@@ -122,10 +164,11 @@ def evaluate_scene(predict_fn: Callable, xyz: np.ndarray,
     --num_votes); the tiling grid is deterministic, so every vote
     reuses the compiled predictor.
     """
+    bl = block_point_lists(xyz, block_size, stride)  # seed-independent
     votes = None
     for v in range(num_votes):
         feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride,
-                                 seed + v)
+                                 seed + v, block_lists=bl)
         vv = _vote_loop(predict_fn, [feats], pidx, feats.shape[0],
                         batch_size, len(xyz), num_classes)
         votes = vv if votes is None else votes + vv
@@ -136,9 +179,16 @@ def room_confusion(pred: np.ndarray, labels: np.ndarray,
                    num_classes: int) -> np.ndarray:
     """[C,C] confusion (rows = true) — host bincount; shared by the
     single-room metrics and the whole-area aggregation (test.py --scene
-    on a directory), so the two can't drift."""
+    on a directory), so the two can't drift.
+
+    Labels outside [0, num_classes) — ignore markers like -1/255, or a
+    --seg_classes/checkpoint mismatch — are excluded instead of
+    crashing the reshape after all the block prediction has already run
+    (code-review r5)."""
+    labels = labels.astype(np.int64)
+    valid = (labels >= 0) & (labels < num_classes)
     return np.bincount(
-        labels.astype(np.int64) * num_classes + pred,
+        labels[valid] * num_classes + pred.astype(np.int64)[valid],
         minlength=num_classes * num_classes
     ).reshape(num_classes, num_classes)
 
@@ -188,15 +238,15 @@ def render_block_views(feats: np.ndarray, hw=(64, 64), seed: int = 0):
     Returns (images [nb,H,W,3], K [nb,3,3], R [nb,3,3], t [nb,3]).
     """
     from mm3d_tpu.data.synthetic import (default_intrinsics,
-                                         look_at_extrinsics,
+                                         random_viewpoint_extrinsics,
                                          render_depth_image)
     Kin = default_intrinsics(hw)
     imgs, Rs, ts = [], [], []
     for b in range(feats.shape[0]):
         rng = np.random.RandomState((seed * 7_000_003 + b) % (2**32))
-        theta = rng.uniform(0, 2 * np.pi)
-        eye = 2.5 * np.array([np.cos(theta), 0.45, np.sin(theta)])
-        R, t = look_at_extrinsics(eye.astype(np.float32))
+        # the SHARED pose helper: eval-time views must come from the
+        # distribution the fusion models trained on (code-review r5)
+        R, t = random_viewpoint_extrinsics(rng)
         imgs.append(render_depth_image(feats[b, :, :3], Kin, R, t, hw))
         Rs.append(R)
         ts.append(t)
@@ -222,10 +272,11 @@ def evaluate_scene_multimodal(predict_fn: Callable, xyz: np.ndarray,
     per-vote seed also re-renders the block views from fresh
     viewpoints, adding view diversity to the ensemble).
     """
+    bl = block_point_lists(xyz, block_size, stride)  # seed-independent
     votes = None
     for v in range(num_votes):
         feats, pidx = tile_scene(xyz, rgb, npoints, block_size, stride,
-                                 seed + v)
+                                 seed + v, block_lists=bl)
         imgs, Kin, Rm, tm = render_block_views(feats, hw, seed + v)
         vv = _vote_loop(predict_fn, [feats, imgs, Kin, Rm, tm], pidx,
                         feats.shape[0], batch_size, len(xyz), num_classes)

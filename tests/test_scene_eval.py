@@ -115,3 +115,44 @@ def test_evaluate_scene_multimodal_fusion_model():
     assert metrics["coverage"] > 0.9
     assert 0.0 <= metrics["miou"] <= 1.0
     assert pred.shape == (len(xyz),)
+
+
+def test_block_point_lists_matches_bruteforce():
+    """The cell-prefiltered tiler must select exactly the brute-force
+    per-block membership (code-review r5 replaced the O(blocks*N) scan;
+    empty-only skipping is the reference convention)."""
+    from mm3d_tpu.training.scene_eval import block_point_lists
+
+    def brute(xyz, block_size, stride):
+        xs = np.arange(xyz[:, 0].min(), xyz[:, 0].max() + 1e-6, stride)
+        ys = np.arange(xyz[:, 1].min(), xyz[:, 1].max() + 1e-6, stride)
+        out = []
+        for x0 in xs:
+            for y0 in ys:
+                m = ((xyz[:, 0] >= x0) & (xyz[:, 0] < x0 + block_size)
+                     & (xyz[:, 1] >= y0) & (xyz[:, 1] < y0 + block_size))
+                sel = np.where(m)[0]
+                if len(sel):
+                    out.append(sel)
+        return out
+
+    for trial, (bs, st) in enumerate([(1.0, 0.5), (1.0, 1.0), (1.3, 0.7)]):
+        r = np.random.RandomState(trial)
+        xyz = r.rand(r.randint(50, 800), 3) * r.uniform(0.5, 6)
+        xyz[:, 0] -= 2.5  # negative coords
+        got = block_point_lists(xyz, bs, st)
+        want = brute(xyz, bs, st)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, np.sort(w))
+
+
+def test_room_confusion_ignores_out_of_range_labels():
+    """Ignore markers (-1/255) or a seg_classes mismatch must not crash
+    the area aggregation after prediction has already run."""
+    from mm3d_tpu.training.scene_eval import room_confusion
+    pred = np.array([0, 1, 2, 1, 0], np.int32)
+    labels = np.array([0, 1, 255, -1, 13], np.int64)
+    cm = room_confusion(pred, labels, 13)
+    assert cm.shape == (13, 13) and cm.sum() == 2
+    assert cm[0, 0] == 1 and cm[1, 1] == 1
