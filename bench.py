@@ -32,6 +32,12 @@ K1, K2 = 5, 25
 # benches the strict-parity mode instead.
 import os
 DTYPE = os.environ.get("MM3D_BENCH_DTYPE", "bfloat16")
+if DTYPE not in ("bfloat16", "float32"):
+    # a typo ('bf16') would otherwise silently bench fp32 and the
+    # driver would record it as the bf16 figure (code-review r5)
+    print(json.dumps({"error": f"MM3D_BENCH_DTYPE must be bfloat16|"
+                               f"float32, got {DTYPE!r}"}), flush=True)
+    raise SystemExit(2)
 
 
 def _backend_watchdog(seconds=180):
@@ -106,7 +112,11 @@ def main():
         def body(i, p):
             log_probs, _ = model.apply(v, p, img, K, R, t, train=False)
             return p + 1e-6 * jnp.mean(log_probs)  # serialize iterations
-        return jax.lax.fori_loop(0, n_loops, body, pts)
+        # reduce the carry to a SCALAR before the host fetch, exactly
+        # like utils.profiling.chain_time: the full [B,N,3] carry is
+        # ~768 KB per fetch and the tunnel's D2H variance would bias
+        # the slope (code-review r5)
+        return jnp.mean(jax.lax.fori_loop(0, n_loops, body, pts))
 
     def run(k, batch):
         out = chained(variables, *batch, k)
@@ -131,6 +141,7 @@ def main():
         "value": round(clouds_per_s, 1),
         "unit": "clouds/s",
         "vs_baseline": round(clouds_per_s / CPU_BASELINE_CLOUDS_PER_S, 1),
+        "dtype": DTYPE,
     }))
 
 

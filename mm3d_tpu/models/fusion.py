@@ -152,6 +152,15 @@ class FusionSemSeg(nn.Module):
                                dtype=self.dtype)(
             image.astype(self.dtype or image.dtype), train, bn_momentum)
         H, W = image.shape[1], image.shape[2]
+        # trace-time guard: image_stride is an independent knob that
+        # must match the encoder's ACTUAL downsampling — a desync scales
+        # uv by the wrong factor and points silently sample wrong
+        # pixels with no shape error (code-review r5)
+        if H // self.image_stride != fmap.shape[1]:
+            raise ValueError(
+                f"image_stride={self.image_stride} disagrees with the "
+                f"encoder: image H={H} -> fmap H={fmap.shape[1]} "
+                f"(expected {H // self.image_stride})")
         pixf, valid = proj.sample_image_features(
             fmap, xyz, K, R, t, (H, W), stride=self.image_stride)
         aux = {"trans_feat": None, "proj_valid": valid}

@@ -84,6 +84,14 @@ def sample_image_features(feat: jax.Array, xyz: jax.Array, K: jax.Array,
     `feat` may be a downsampled map (stride > 1 relative to the image the
     intrinsics describe); uv is scaled accordingly.  Returns
     (pixel_feats [B,N,C], valid [B,N] mask: in front of camera & in frame).
+
+    Convention note (deliberate, pinned by the grid_sample-oracle
+    parity test): map coords are uv/stride, NOT the align_corners
+    rescale (Wf-1)/(W-1) — so at stride>1 a point within ~stride px of
+    the right/bottom image edge is `valid` but bilinear zero-padding
+    attenuates its feature (up to 4x at the extreme corner).  Both
+    fusion models TRAIN with this convention, so it is part of the
+    checkpoint contract; changing it invalidates trained weights.
     """
     uv, depth = project_points(xyz, K, R, t)
     H, W = image_hw
