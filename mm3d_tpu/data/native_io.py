@@ -61,13 +61,22 @@ def parse_table(path: str, cols: int,
     lib = _load()
     if lib is None:
         return None
-    out = np.empty((max_rows, cols), np.float32)
-    rows = lib.mm3d_parse_table(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        max_rows, cols)
-    if rows < 0:
-        raise FileNotFoundError(path)
-    return out[:rows].copy()
+    while True:
+        out = np.empty((max_rows, cols), np.float32)
+        rows = lib.mm3d_parse_table(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_rows, cols)
+        if rows < 0:
+            raise FileNotFoundError(path)
+        if rows < max_rows:
+            return out[:rows].copy()
+        # buffer exactly full = possible truncation (the native parser
+        # stops at max_rows with no overflow signal, silently diverging
+        # from the loadtxt fallback on >200k-row files — code-review
+        # r5); retry with a doubled buffer.  An exact-fit file costs
+        # one extra parse.
+        max_rows *= 2
 
 
 def parse_many(paths: List[str], cols: int, max_rows: int = 200_000,
@@ -87,4 +96,8 @@ def parse_many(paths: List[str], cols: int, max_rows: int = 200_000,
     bad = np.where(rows < 0)[0]
     if bad.size:  # -1 = open/read failure; never slice with it
         raise FileNotFoundError(paths[int(bad[0])])
-    return [out[i, : rows[i]].copy() for i in range(n)]
+    # rows == max_rows means the buffer filled: re-parse those files
+    # with parse_table's growing buffer (truncation guard)
+    return [parse_table(paths[i], cols, max_rows * 2)
+            if rows[i] == max_rows else out[i, : rows[i]].copy()
+            for i in range(n)]

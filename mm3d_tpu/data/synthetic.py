@@ -34,7 +34,11 @@ def sample_sphere(rng, n, radii):
     """Points + normals on an axis-aligned ellipsoid with semi-axes `radii`."""
     d = _unit(rng.randn(n, 3))
     pts = d * radii
-    nrm = _unit(d / (np.asarray(radii) ** 2))
+    # gradient of (x/r1)^2+(y/r2)^2+(z/r3)^2 at pts = d*radii is
+    # pts/radii^2 = d/radii — the previous d/radii^2 was one power of
+    # radii too many and tilted normals off every anisotropic ellipsoid
+    # (code-review r5)
+    nrm = _unit(d / np.asarray(radii))
     return pts, nrm
 
 
@@ -375,7 +379,7 @@ def _gen_room(rng, n, num_classes, seed):
                        rng.uniform(0.5, room[1] - 0.5), 0.0])
         pts.append(p)
         lbl.append(np.full(int(counts[j]), klass, np.int32))
-        hue = np.array([klass / 13.0, 1 - klass / 13.0, 0.5])
+        hue = np.array([klass / num_classes, 1 - klass / num_classes, 0.5])
         col.append(np.clip(hue + 0.05 * rng.randn(int(counts[j]), 3), 0, 1))
     xyz = np.concatenate(pts, 0).astype(np.float32)
     seg = np.concatenate(lbl, 0)

@@ -285,6 +285,16 @@ class Trainer:
                 "pass --run_name of the run to resume (and keep "
                 "checkpointing enabled)")
 
+    def close(self):
+        """Release logging fds and checkpoint managers — a long-lived
+        process constructing many Trainers (sweeps, the test suite)
+        otherwise leaks 3 fds + a registered logger per run
+        (code-review r5).  The CLI mains call this in a finally."""
+        self.log.close()
+        if self.ckpt is not None:
+            self.ckpt.close()
+            self.ckpt_latest.close()
+
     def _example_batch(self, ds):
         from mm3d_tpu.data.pipeline import _default_collate
         # wrap like DataPipeline's pad-remainder does, so datasets

@@ -16,8 +16,18 @@ from typing import Optional
 
 
 def create_run_dir(root: str, task: str, name: Optional[str] = None) -> str:
-    ts = name or datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    run_dir = os.path.join(root, task, ts)
+    if name is None:
+        # auto-stamped dirs must be UNIQUE: the stamp has 1s granularity
+        # and two same-second launches would silently interleave logs
+        # and checkpoints in one dir (code-review r5).  An explicit name
+        # keeps exist_ok semantics — that is how --resume finds its run.
+        ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        cand, i = ts, 1
+        while os.path.exists(os.path.join(root, task, cand)):
+            i += 1
+            cand = f"{ts}_{i}"
+        name = cand
+    run_dir = os.path.join(root, task, name)
     os.makedirs(os.path.join(run_dir, "checkpoints"), exist_ok=True)
     os.makedirs(os.path.join(run_dir, "logs"), exist_ok=True)
     return run_dir
@@ -46,9 +56,23 @@ class MetricsLogger:
     def info(self, msg: str, *args):
         self.logger.info(msg, *args)
 
+    @staticmethod
+    def _jsonable(v):
+        # keep python ints/bools as-is; unwrap 1-element arrays; list-ify
+        # bigger arrays (ndarray.__float__ raises on size != 1 and the
+        # old blanket float() rewrote ints/bools — code-review r5)
+        if isinstance(v, (bool, int, float, str)) or v is None:
+            return v
+        if hasattr(v, "size") and getattr(v, "size") != 1 \
+                and hasattr(v, "tolist"):
+            return v.tolist()
+        if hasattr(v, "item"):
+            return v.item()
+        return float(v)
+
     def log_metrics(self, step: int, metrics: dict, prefix: str = ""):
         rec = {"step": int(step)}
-        rec.update({(f"{prefix}{k}"): (float(v) if hasattr(v, "__float__") else v)
+        rec.update({f"{prefix}{k}": self._jsonable(v)
                     for k, v in metrics.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
@@ -57,4 +81,10 @@ class MetricsLogger:
         self.logger.info("step %d %s", step, pretty)
 
     def close(self):
+        """Release the jsonl fd AND the logging handlers: the per-run
+        logger is registered globally, so without handler removal every
+        run leaks 3 fds for the process lifetime (code-review r5)."""
         self._jsonl.close()
+        for h in list(self.logger.handlers):
+            self.logger.removeHandler(h)
+            h.close()

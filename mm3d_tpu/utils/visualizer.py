@@ -59,8 +59,10 @@ def _load():
 
 def _render_numpy(pts, colors, h, w, focal, radius, bg):
     """Vectorized ball-splat fallback (same contract as the native
-    renderer: each point covers a disc of `radius` pixels, nearest
-    point wins per pixel)."""
+    renderer: `radius` is in WORLD units; each point covers a disc of
+    max(1, focal*radius/z) pixels, nearest point wins per pixel.  The
+    old int(round(radius)) treated it as pixels — the default 0.012
+    rounded to 0 and splatted bare single-pixel dots, code-review r5)."""
     img = np.full((h, w, 3), bg, np.float32)
     z = pts[:, 2]
     ok = z > 1e-6
@@ -70,15 +72,18 @@ def _render_numpy(pts, colors, h, w, focal, radius, bg):
     vi = np.round(v[ok]).astype(int)
     zk = z[ok]
     ck = colors[ok]
-    r = max(int(round(radius)), 0)
-    dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
-    disc = (dy ** 2 + dx ** 2) <= r * r
-    dy, dx = dy[disc], dx[disc]
-    # splat every disc offset, far-first so the nearest write lands last
-    vv = (vi[:, None] + dy[None, :]).reshape(-1)
-    uu = (ui[:, None] + dx[None, :]).reshape(-1)
-    zz = np.repeat(zk, len(dy))
-    cc = np.repeat(ck, len(dy), axis=0)
+    if not len(zk):
+        return img
+    r_px = np.maximum(1.0, focal * radius / zk)  # per-point, like native
+    rmax = int(np.ceil(r_px.max()))
+    dy, dx = np.mgrid[-rmax:rmax + 1, -rmax:rmax + 1]
+    dy, dx = dy.ravel(), dx.ravel()
+    keep = (dy[None, :] ** 2 + dx[None, :] ** 2) <= r_px[:, None] ** 2
+    # splat every kept disc offset, far-first so the nearest write wins
+    vv = (vi[:, None] + dy[None, :])[keep]
+    uu = (ui[:, None] + dx[None, :])[keep]
+    zz = np.broadcast_to(zk[:, None], keep.shape)[keep]
+    cc = np.broadcast_to(ck[:, None, :], keep.shape + (3,))[keep]
     inb = (uu >= 0) & (uu < w) & (vv >= 0) & (vv < h)
     order = np.argsort(-zz[inb])
     img[vv[inb][order], uu[inb][order]] = cc[inb][order]

@@ -242,6 +242,13 @@ def main(argv=None):
                                     a.npoint or spec.default_npoint,
                                     test_only=True)
     trainer = Trainer(cfg, test_ds=test_ds)
+    try:
+        return _main_with_trainer(a, spec, trainer)
+    finally:
+        trainer.close()
+
+
+def _main_with_trainer(a, spec, trainer):
     if a.torch_ckpt:
         # migrated lineage .pth instead of an orbax run dir
         from train import load_torch_into_trainer

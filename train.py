@@ -169,11 +169,14 @@ def main(argv=None):
     train_ds, test_ds = build_cli_datasets(a, spec.task,
                                            a.npoint or spec.default_npoint)
     trainer = Trainer(cfg, train_ds=train_ds, test_ds=test_ds)
-    if a.torch_ckpt:
-        load_torch_into_trainer(trainer, a.torch_ckpt)
-    result = trainer.fit()
-    trainer.log.info("final: %s", result)
-    return result
+    try:
+        if a.torch_ckpt:
+            load_torch_into_trainer(trainer, a.torch_ckpt)
+        result = trainer.fit()
+        trainer.log.info("final: %s", result)
+        return result
+    finally:
+        trainer.close()
 
 
 if __name__ == "__main__":
