@@ -254,6 +254,17 @@ class SharedMLP(nn.Module):
         return x
 
 
+
+def guarded_train_dtype(dtype, train: bool, guard: bool):
+    """f32-numerics-island helper: None (f32 compute) while a bf16
+    TRAIN guard is active, else `dtype` unchanged.  ONE definition for
+    the measured guards in pointnet.py / pointnet2.py (the inline
+    3-line expression had two drift-prone copies — code-review r5)."""
+    if guard and train and dtype is not None \
+            and jnp.dtype(dtype) == jnp.bfloat16:
+        return None
+    return dtype
+
 def log_softmax_head(x):
     """The lineage returns log-probabilities from every model head."""
     return nn.log_softmax(x, axis=-1)

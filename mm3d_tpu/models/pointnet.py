@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+from mm3d_tpu.models.layers import guarded_train_dtype, BatchNorm, SharedMLP, log_softmax_head
 
 
 class STN(nn.Module):
@@ -99,12 +99,16 @@ class PointNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1):
-        B, N, C = x.shape
-        dt = self.dtype
-        if (self.f32_train_guard and train and dt is not None
-                and jnp.dtype(dt) == jnp.bfloat16):
-            dt = None
-        trans = STN(k=3, name="stn", dtype=self.dtype)(x, train, bn_momentum)
+        B, N, _ = x.shape
+        if x.shape[-1] != self.channel:
+            raise ValueError(
+                f"PointNetEncoder(channel={self.channel}) got "
+                f"{x.shape[-1]}-channel input")
+        dt = guarded_train_dtype(self.dtype, train, self.f32_train_guard)
+        # the STN consumes the same raw first-contact features the
+        # guard protects — keep it inside the f32 island in bf16 TRAIN
+        # (serving stays bf16; code-review r5)
+        trans = STN(k=3, name="stn", dtype=dt)(x, train, bn_momentum)
         x = _stn_align(x, trans, dt)
         x = SharedMLP([64], name="mlp1", dtype=dt)(
             x, train, bn_momentum)

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from mm3d_tpu import ops
 from mm3d_tpu.ops import dispatch
-from mm3d_tpu.models.layers import BatchNorm, SharedMLP, log_softmax_head
+from mm3d_tpu.models.layers import guarded_train_dtype, BatchNorm, SharedMLP, log_softmax_head
 
 
 def _dbg_dtype(component: str, dtype):
@@ -132,10 +132,7 @@ class SetAbstraction(nn.Module):
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
         # xyz [B,N,3], feats [B,N,D] or None
-        dt = self.dtype
-        if (self.f32_train_guard and train and dt is not None
-                and jnp.dtype(dt) == jnp.bfloat16):
-            dt = None
+        dt = guarded_train_dtype(self.dtype, train, self.f32_train_guard)
         if self.group_all or not self.project_first:
             mdt = self.dtype
             if (self.group_all and train and mdt is not None
@@ -321,10 +318,7 @@ class SetAbstractionMsg(nn.Module):
     @nn.compact
     def __call__(self, xyz, feats, train: bool = True,
                  bn_momentum: float = 0.1):
-        dt = self.dtype
-        if (self.f32_train_guard and train and dt is not None
-                and jnp.dtype(dt) == jnp.bfloat16):
-            dt = None
+        dt = guarded_train_dtype(self.dtype, train, self.f32_train_guard)
         # point-sharding context, mirroring SetAbstraction (VERDICT r4
         # weak 4: MSG blocks previously ran unsharded on replicated N
         # under --point_shard, silently)

@@ -34,6 +34,10 @@ def register(spec: ModelSpec):
 
 
 def get_model(name: str, **overrides) -> ModelSpec:
+    """Look up a registered spec; `overrides` pre-bind builder kwargs
+    and WIN over call-site kwargs of the same name (they express the
+    requested model identity — the old kw-precedence silently discarded
+    them, code-review r5)."""
     if name not in _REGISTRY:
         raise KeyError(
             f"unknown model {name!r}; available: {sorted(_REGISTRY)}")
@@ -41,7 +45,7 @@ def get_model(name: str, **overrides) -> ModelSpec:
     if overrides:
         builder = spec.builder
         spec = dataclasses.replace(
-            spec, builder=lambda **kw: builder(**{**overrides, **kw}))
+            spec, builder=lambda **kw: builder(**{**kw, **overrides}))
     return spec
 
 

@@ -11,6 +11,14 @@ same name.  Selection:
 
 The pure-JAX implementations are the semantic source of truth; kernels
 must match them bit-exactly for index-producing ops (tests enforce this).
+
+TRACE-TIME semantics (important): the mode is read when a function is
+TRACED, not when it is called — a jitted function keeps whatever
+implementation it was first traced with, and the mode is NOT part of
+jax's cache key.  To compare impls, build a FRESH jitted function
+inside each `use_impl(...)` block (the kernel-parity tests do exactly
+this); calling one cached fn under two modes silently reuses the first
+trace.
 """
 
 from __future__ import annotations
@@ -22,18 +30,27 @@ from typing import Callable, Dict
 import jax
 
 _KERNELS: Dict[str, Callable] = {}
+# process-wide default (set_impl, e.g. the CLIs' --impl flag) + a
+# thread-local override (use_impl).  A plain threading.local alone made
+# --impl jax invisible to worker threads (prefetch, a daemon's HTTP
+# handlers): they'd fall back to 'auto', and with the axon sitecustomize
+# force-registering the TPU that re-selects Pallas kernels in exactly
+# the outage scenarios --impl jax exists to avoid (code-review r5).
+_GLOBAL_MODE = "auto"
 _state = threading.local()
 
 
 def _mode() -> str:
-    return getattr(_state, "mode", "auto")
+    return getattr(_state, "mode", None) or _GLOBAL_MODE
 
 
 def set_impl(mode: str) -> None:
-    """Set the global op-implementation mode: 'auto' | 'jax' | 'pallas'."""
+    """Set the PROCESS-WIDE op-implementation mode ('auto'|'jax'|'pallas').
+    Seen by every thread unless overridden by `use_impl` in that thread."""
+    global _GLOBAL_MODE
     if mode not in ("auto", "jax", "pallas"):
         raise ValueError(f"unknown impl mode {mode!r}")
-    _state.mode = mode
+    _GLOBAL_MODE = mode
 
 
 def get_impl() -> str:
@@ -42,13 +59,17 @@ def get_impl() -> str:
 
 @contextlib.contextmanager
 def use_impl(mode: str):
-    """Context manager pinning the op-implementation mode."""
-    prev = _mode()
-    set_impl(mode)
+    """Context manager pinning the mode FOR THIS THREAD (overrides the
+    process-wide set_impl default); restores the previous override on
+    exit.  Remember the trace-time caveat in the module docstring."""
+    if mode not in ("auto", "jax", "pallas"):
+        raise ValueError(f"unknown impl mode {mode!r}")
+    prev = getattr(_state, "mode", None)
+    _state.mode = mode
     try:
         yield
     finally:
-        set_impl(prev)
+        _state.mode = prev
 
 
 def register_kernel(name: str, fn: Callable) -> None:

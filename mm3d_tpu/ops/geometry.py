@@ -126,7 +126,11 @@ def _fps_jax(xyz: jax.Array, npoint: int, start_idx=0) -> jax.Array:
     if isinstance(start_idx, int):
         far0 = jnp.full((B,), start_idx, jnp.int32)
     else:
-        far0 = jnp.asarray(start_idx, jnp.int32).reshape(B)
+        # accept numpy/jax scalars AND per-batch [B] vectors: a bare
+        # np.int64 start (the natural lineage-parity call) used to die
+        # in .reshape(B) for B>1 (code-review r5)
+        far0 = jnp.broadcast_to(
+            jnp.asarray(start_idx, jnp.int32).reshape(-1), (B,))
 
     def body(i, state):
         dist, far, idxs = state
@@ -302,7 +306,10 @@ def sample_and_group(
     else:
         new_points = grouped_xyz_norm
     if return_fps:
-        return new_xyz, new_points, grouped_xyz_norm, fps_idx
+        # lineage semantics: the third value is the UN-normalized
+        # grouped_xyz (the recentered twin has the same shape and would
+        # silently mislead ported lineage code — code-review r5)
+        return new_xyz, new_points, grouped_xyz, fps_idx
     return new_xyz, new_points
 
 
