@@ -1596,8 +1596,20 @@ def fused_fp_pallas(xyz1: jax.Array, xyz2: jax.Array, pre: jax.Array,
         ((0, 0), (0, 5), (0, Mp - M)))
     pre_p = jnp.pad(pre, ((0, 0), (0, Mp - M), (0, C1p - C1)))
     skip_p = jnp.pad(skip.astype(dt), ((0, 0), (0, Np - N), (0, C1p - C1)))
-    # [nt, Mp] f32 row/d2 tiles dominate VMEM
-    nt_cap = max(8, (4 * 1024 * 1024) // (8 * Mp))
+    # Honest per-row live set (measured on chip at N=2048/M=512/C1=256:
+    # Mosaic's scoped allocation was 15.5 KB/row, not the 4 KB the old
+    # 2-array model assumed): ~6 f32 [nt, Mp] residents (lane iota,
+    # cross, d2, rows, one-hot mask, where-temp) + the f32 interp tile
+    # and the skip/out tiles at [nt, C1p].  Budget leaves ~1.5 MiB of
+    # the 16 MiB scoped-VMEM stack for slack beyond the fixed residents
+    # (pre [Mp, C1p], sparse_t, dense); calibrated so every previously
+    # passing sweep shape keeps its raced tiling (e.g. N=4096/M=1024
+    # stays nt=512, N=1024/M=512 stays nt=1024).
+    dsz = jnp.dtype(dt).itemsize
+    per_row = 24 * Mp + (4 + 2 * dsz) * C1p
+    fixed = Mp * C1p * dsz + 32 * Mp + 32 * Np
+    budget = int(14.5 * 1024 * 1024) - fixed
+    nt_cap = max(8, budget // per_row)
     nt = Np
     while nt > nt_cap and nt % 2 == 0:
         nt //= 2
