@@ -108,8 +108,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: Optional[bool] = None,
-                 momentum: float = 0.1, fold: bool = False,
-                 raw: bool = False, stats=None, stats_n: int = None):
+                 momentum: float = 0.1, fold: bool = False):
         ura = use_running_average
         if ura is None:
             ura = bool(self.use_running_average)
@@ -120,29 +119,6 @@ class BatchNorm(nn.Module):
                                 lambda: jnp.zeros(features))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(features))
-        if raw:
-            # declare-and-read: the fused train-mode SA kernel computes
-            # the batch statistics itself and needs the primal (gamma,
-            # beta); no running-stat update happens here
-            return scale, bias
-        if stats is not None:
-            # commit a running-stat update from externally computed
-            # batch statistics (fused train path); same torch-convention
-            # update as the inline branch below
-            mean, var = stats
-            if not self.is_initializing():
-                n = stats_n
-                # stats always commit in f32 regardless of the caller's
-                # compute dtype (same invariant the inline train branch
-                # enforces locally — bf16 EMAs absorb rounding per step)
-                mean = mean.astype(jnp.float32)
-                var = var.astype(jnp.float32)
-                unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = ((1 - momentum) * ra_mean.value
-                                 + momentum * mean)
-                ra_var.value = ((1 - momentum) * ra_var.value
-                                + momentum * unbiased)
-            return None
         if fold:
             # eval-mode BN is the affine map x*A + C; return (A, C) so the
             # caller can fold it into an adjacent matmul (fused SA kernel)
@@ -198,33 +174,7 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True, bn_momentum: float = 0.1,
-                 fold: bool = False, raw: bool = False, train_stats=None,
-                 stats_n: int = None):
-        if raw:
-            # fused train-mode path: hand back the primal parameters
-            # [(kernel, bias, gamma, beta)] per layer; no compute on x
-            out = []
-            c = x.shape[-1]
-            for i, f in enumerate(self.features):
-                d = nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)
-                d(jnp.zeros((1, c), x.dtype))
-                g, b = BatchNorm(name=f"bn_{i}", dtype=self.dtype)(
-                    jnp.zeros((1, f), x.dtype), raw=True)
-                out.append((d.variables["params"]["kernel"],
-                            d.variables["params"]["bias"], g, b))
-                c = f
-            return out
-        if train_stats is not None:
-            # commit running-stat updates computed by the fused kernel
-            c = x.shape[-1]
-            for i, f in enumerate(self.features):
-                nn.Dense(f, name=f"dense_{i}", dtype=self.dtype)(
-                    jnp.zeros((1, c), x.dtype))
-                BatchNorm(name=f"bn_{i}", dtype=self.dtype)(
-                    jnp.zeros((1, f), x.dtype), momentum=bn_momentum,
-                    stats=train_stats[i], stats_n=stats_n)
-                c = f
-            return None
+                 fold: bool = False):
         if fold:
             # eval-mode folding: return [(W_i', b_i')] with BN absorbed,
             # so relu(x @ W' + b') == relu(BN(Dense(x))).  `x` is only a

@@ -67,20 +67,6 @@ def _want_fused_fp(train: bool) -> bool:
     return not train
 
 
-def _want_fused_sa_train() -> bool:
-    """Fused TRAIN-mode SA only under the explicit 'pallas' mode.
-
-    The exact-BN-VJP streaming design is correct (tests/test_sa_train
-    _fused.py) but at SA1/SA2 shapes its 8 recompute passes measured
-    SLOWER than the unfused XLA path on v5e (94 vs 51 ms step): each
-    pass repeats the one-hot gather matmul with 3-term f32 splitting,
-    multiplying MXU work ~24x vs the eval kernel's single bf16 pass.
-    Auto mode therefore keeps the unfused path (whose scatter-add
-    backward DOES use the fast Pallas gather-backward kernel).
-    """
-    return dispatch.get_impl() == "pallas"
-
-
 def _fps_start(module: nn.Module, train: bool, xyz: jax.Array):
     """Lineage-parity random-start FPS seed.
 
@@ -251,28 +237,18 @@ class SetAbstraction(nn.Module):
                             (bias - cterm) * A + C, w1, b1, w2, b2)
             return new_xyz, out
 
-        fused_tr = (dispatch.kernel_or_none("fused_sa_train")
-                    if (train and len(self.mlp) == 3 and not self.knn
-                        and dt is None
-                        and _want_fused_sa_train()) else None)
-        if fused_tr is not None:
-            # train path: batch-norm statistics are computed by streaming
-            # reduction passes and the whole tail runs as folded-affine
-            # Pallas passes with an exact BN-train custom VJP — the
-            # grouped [B,S,K,C] tensor never exists in HBM in either
-            # direction (VERDICT r1 item 3).
-            g0, be0 = bn(pre, raw=True)
-            (k1, b1d, g1, be1), (k2, b2d, g2, be2) = rest(pre, raw=True)
-            out, stats = fused_tr(
-                self.radius, self.nsample, xyz, new_xyz, pre,
-                bias - cterm, k1, b1d, k2, b2d,
-                g0, be0, g1, be1, g2, be2)
-            T = out.shape[0] * out.shape[1] * self.nsample
-            bn(pre, momentum=bn_momentum, stats=stats[0], stats_n=T)
-            rest(pre, bn_momentum=bn_momentum, train_stats=stats[1:],
-                 stats_n=T)
-            return new_xyz, out
-
+        # Train mode stays on the unfused XLA path deliberately: the
+        # streaming fused train-mode SA (exact BN-train VJP, r2) was
+        # measured FLOP-bound-slower (94 vs 51 ms step — 8 recompute
+        # passes × one-hot builds ≈ 24× the eval kernel's MXU work),
+        # the v7 slab-select build lost its on-chip race in BOTH dtypes
+        # (r5), and the row-DMA gather measured 9 ns/row vs the 2.8
+        # ns/row budget (r5).  The kernel was deleted in r5; the design
+        # record lives in docs/fused_sa_kernels.md + BASELINE.md and
+        # the implementation in git history (mm3d_tpu/ops/
+        # sa_train_kernels.py @ 88fbfa1).  The unfused path's
+        # scatter-add backward DOES route through the Pallas
+        # gather-backward kernel.
         if self.knn:
             idx = ops.knn_point(self.nsample, xyz, new_xyz)
         else:
@@ -380,25 +356,7 @@ class SetAbstractionMsg(nn.Module):
                                       (biasi - cterm) * A + C,
                                       w1, b1, w2, b2))
                     continue
-                fused_tr = (dispatch.kernel_or_none("fused_sa_train")
-                            if (train and len(mlp) == 3
-                                and dt is None
-                                and _want_fused_sa_train()) else None)
-                if fused_tr is not None:
-                    # train-mode fusion per scale (see SetAbstraction)
-                    g0, be0 = bn(pre, raw=True)
-                    ((k1, b1d, g1, be1),
-                     (k2, b2d, g2, be2)) = rest(pre, raw=True)
-                    o, stats = fused_tr(
-                        r, k, xyz, new_xyz, pre, biasi - cterm,
-                        k1, b1d, k2, b2d, g0, be0, g1, be1, g2, be2)
-                    T = o.shape[0] * o.shape[1] * k
-                    bn(pre, momentum=bn_momentum, stats=stats[0],
-                       stats_n=T)
-                    rest(pre, bn_momentum=bn_momentum,
-                         train_stats=stats[1:], stats_n=T)
-                    outs.append(o)
-                    continue
+                # train mode: unfused by measurement (see SetAbstraction)
                 idx = ops.query_ball_point(r, k, xyz, new_xyz)
                 if dt is not None and train:
                     # f32 recentering under bf16 training — see

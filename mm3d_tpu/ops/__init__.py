@@ -21,7 +21,6 @@ from mm3d_tpu.ops.dispatch import set_impl, get_impl, use_impl
 from mm3d_tpu.ops import projection
 # importing registers the Pallas TPU kernels behind the same API
 from mm3d_tpu.ops import pallas_kernels as _pallas_kernels  # noqa: F401
-from mm3d_tpu.ops import sa_train_kernels as _sa_train_kernels  # noqa: F401
 
 __all__ = [
     "square_distance",
