@@ -52,6 +52,26 @@ def _want_fused_sa(train: bool, mlp, dtype) -> bool:
     return dispatch.get_impl() == "pallas"
 
 
+def _want_fused_sa_idx(train: bool, mlp, dtype, knn: bool,
+                       nsample: int, n_points: int) -> bool:
+    """Route the given-idx fused SA tail (kNN serving, fused_sa_idx)?
+
+    Gates: eval-mode 3-layer kNN block with K <= 128 (the kernel's
+    one-hot build clamps slot ranks to 128 lanes).  Beyond that, the r5
+    on-chip race (log/r5_knn_race.log) showed the kernel trades the
+    K-element gather for an R*N*C1 one-hot matmul, so it wins only
+    where N/nsample is small — SA2 (N/K=8, bf16) wins 1.66x while SA1
+    (N/K=32) loses in both dtypes.  Auto mode therefore takes it below
+    N/K <= 16 (the geometric midpoint of the raced shapes); explicit
+    'pallas' mode always routes (tests/sweeps exercise every shape).
+    """
+    if not (_want_fused_sa(train, mlp, dtype) and knn and nsample <= 128):
+        return False
+    if dispatch.get_impl() == "pallas":
+        return True
+    return n_points <= 16 * nsample
+
+
 def _want_fused_fp(train: bool) -> bool:
     """Take the fused FP-tail Pallas kernel (eval only)?
 
@@ -223,8 +243,9 @@ class SetAbstraction(nn.Module):
             return new_xyz, out
 
         fused_idx = (dispatch.kernel_or_none("fused_sa_idx")
-                     if _want_fused_sa(train, self.mlp, self.dtype)
-                     and self.knn and self.nsample <= 128 else None)
+                     if _want_fused_sa_idx(train, self.mlp, self.dtype,
+                                           self.knn, self.nsample,
+                                           xyz.shape[1]) else None)
         if fused_idx is not None:
             # kNN serving (VERDICT r4 missing 4): top-K selection stays
             # in XLA; gather + folded-BN MLP + max fuse into one kernel

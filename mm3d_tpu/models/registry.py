@@ -69,8 +69,10 @@ register(ModelSpec(
     # SERVING NOTE: kNN's global top-K ordering doesn't fit the fused
     # family's in-kernel rank-scan, so serving splits it: XLA top_k for
     # selection + the given-idx fused tail kernel (fused_sa_idx) for
-    # gather/MLP/max, at K <= 128 in bf16-serving or impl=pallas mode;
-    # fp32-auto and K > 128 stay on the unfused composition.
+    # gather/MLP/max.  Raced on chip (r5, log/r5_knn_race.log): wins
+    # only at low N/K in bf16 (SA2 1.66x; SA1 and all fp32 lose), so
+    # auto routes it at K <= 128 AND N <= 16*K in bf16 serving;
+    # impl=pallas always routes; fp32-auto stays unfused.
     "pointnet2_cls_knn", "classification",
     lambda **kw: pn2.PointNet2ClsSSG(knn=True, **kw),
     pn.pointnet_loss, default_npoint=1024))

@@ -281,6 +281,11 @@ def main(argv=None):
     if a.platform != "auto":
         # Before backend init; overrides env/sitecustomize plugins.
         jax.config.update("jax_platforms", a.platform)
+    # Persistent compile cache: a daemon restart must not re-pay the
+    # warmup compile (minutes on a remote-compile TPU tunnel).  Entries
+    # are keyed by platform, so the shared dir is safe across cpu/tpu.
+    from mm3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     service = PredictionService(a.artifact)
     if not a.no_warmup:
         service.warmup()

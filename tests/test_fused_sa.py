@@ -254,6 +254,35 @@ def test_sa_module_knn_fused_path_matches_jax():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_sa_idx_auto_routing_gate():
+    """Auto-mode routing for the given-idx fused tail follows the r5
+    on-chip race: bf16 serving takes it only at N/K <= 16; explicit
+    'pallas' mode always routes; fp32-auto and train never do."""
+    from mm3d_tpu.models.pointnet2 import _want_fused_sa_idx
+
+    mlp = (64, 64, 128)
+    with ops.use_impl("auto"):
+        # bf16 serving: SA2-like (N/K=8) wins its race -> routed
+        assert _want_fused_sa_idx(False, mlp, jnp.bfloat16, True, 64, 512)
+        # SA1-like (N/K=32) lost in both dtypes -> unfused
+        assert not _want_fused_sa_idx(False, mlp, jnp.bfloat16, True, 32, 1024)
+        # boundary: exactly N/K == 16 still routes
+        assert _want_fused_sa_idx(False, mlp, jnp.bfloat16, True, 32, 512)
+        # fp32-auto never routes (loses at every raced shape)
+        assert not _want_fused_sa_idx(False, mlp, None, True, 64, 512)
+        # train mode / non-kNN / K > 128 never route
+        assert not _want_fused_sa_idx(True, mlp, jnp.bfloat16, True, 64, 512)
+        assert not _want_fused_sa_idx(False, mlp, jnp.bfloat16, False, 64, 512)
+        assert not _want_fused_sa_idx(False, mlp, jnp.bfloat16, True, 192, 512)
+    with ops.use_impl("pallas"):
+        # explicit pallas: every eligible shape routes (tests/sweeps)
+        assert _want_fused_sa_idx(False, mlp, None, True, 32, 1024)
+    with ops.use_impl("jax"):
+        # the caller's kernel_or_none() returns None in jax mode; the
+        # predicate itself still reflects the bf16 shape gate
+        assert ops.dispatch.kernel_or_none("fused_sa_idx") is None
+
+
 def test_fused_sa_large_nsample_routes_exact():
     """nsample > 128 must not route to v4 (its bf16 arithmetic one-hot
     is exact only for clamped slot ranks <= 128)."""
