@@ -22,7 +22,11 @@ import time
 # batch 8 x 1024 pts x 64x64 image, eval mode — see BASELINE.md.
 CPU_BASELINE_CLOUDS_PER_S = 5.73
 
-BATCH = 64
+# throughput-optimal serving batch, measured r5 (scripts/proto_bench_batch.py
+# same chain-slope methodology): B=32 14,010 / B=64 14,858 / B=128 15,334 /
+# B=256 13,950 clouds/s — FPS+ball-query rows scale linearly but kernel grid
+# setup and the image CNN amortize up to B=128; B=256 regresses (tiling).
+BATCH = 128
 NPOINT = 1024
 IMAGE_HW = (64, 64)
 K1, K2 = 5, 25
