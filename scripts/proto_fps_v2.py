@@ -23,7 +23,10 @@ from mm3d_tpu.ops.geometry import _fps_jax
 from mm3d_tpu.utils.profiling import chain_time
 
 SHAPES = [(64, 1024, 512), (64, 512, 128), (8, 4096, 1024),
-          (256, 1024, 512)]
+          (256, 1024, 512), (128, 1024, 512), (128, 512, 128)]
+if os.environ.get("MM3D_FPS_SHAPES"):  # e.g. "128,1024,512;128,512,128"
+    SHAPES = [tuple(int(v) for v in grp.split(","))
+              for grp in os.environ["MM3D_FPS_SHAPES"].split(";")]
 
 
 def main():
