@@ -78,7 +78,9 @@ def main():
 
     spec = get_model("fusion_cls")
     model = spec.builder(num_class=40, dtype=jnp.bfloat16)
-    for B in (32, 64, 128, 256):
+    batches = (tuple(int(b) for b in sys.argv[1:]) if len(sys.argv) > 1
+               else (32, 64, 128, 256))
+    for B in batches:
         try:
             sec = bench_at(model, B)
         except Exception as e:  # noqa: BLE001 — e.g. VMEM limits at big B
