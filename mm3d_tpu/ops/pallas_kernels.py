@@ -1445,8 +1445,12 @@ def _three_interp_bwd(res, g):
     # is a small gather-dot
     from mm3d_tpu.ops import geometry as _G
     points, idx, weight = res
-    _, vjp = jax.vjp(_G._three_interpolate_jax, points, idx, weight)
-    return vjp(g)
+    out, vjp = jax.vjp(_G._three_interpolate_jax, points, idx, weight)
+    # the Pallas forward returns points.dtype while the JAX twin promotes
+    # bf16 points to f32 (f32 interpolation weights), so the incoming
+    # cotangent can be one dtype narrower than the twin's output — align
+    # it (bf16->f32 is exact; vjp returns input-dtype cotangents)
+    return vjp(g.astype(out.dtype))
 
 
 three_interpolate_pallas.defvjp(_three_interp_fwd, _three_interp_bwd)
@@ -1505,8 +1509,12 @@ def _bilinear_bwd(res, g):
     # gradients flow to both the feature map and the pixel coords
     from mm3d_tpu.ops import projection as _proj
     feat, uv = res
-    _, vjp = jax.vjp(_proj._bilinear_sample_jax, feat, uv)
-    return vjp(g)
+    out, vjp = jax.vjp(_proj._bilinear_sample_jax, feat, uv)
+    # the Pallas forward returns feat.dtype while the JAX twin promotes
+    # bf16 feat to f32 (f32 corner weights from uv), so bf16 training sent
+    # a bf16 cotangent into an f32-output vjp (crashed fusion_semseg bf16
+    # on chip) — align it; bf16->f32 is exact
+    return vjp(g.astype(out.dtype))
 
 
 bilinear_sample_pallas.defvjp(_bilinear_fwd, _bilinear_bwd)

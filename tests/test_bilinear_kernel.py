@@ -66,6 +66,49 @@ def test_bilinear_custom_vjp_grads_match_jax():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_bilinear_custom_vjp_bf16_cotangent():
+    # bf16 feat: the Pallas forward returns bf16 while the JAX twin the
+    # backward differentiates promotes to f32 (f32 corner weights) — the
+    # bwd must align the bf16 cotangent or the inner vjp rejects it
+    # (crashed fusion_semseg bf16 training on chip, round 5)
+    feat, uv = _mk(4, 1, 8, 8, 8, 32)
+    fb = feat.astype(jnp.bfloat16)
+
+    def loss_k(f, u):
+        return jnp.sum(pk.bilinear_sample_pallas(f, u).astype(jnp.float32)
+                       ** 2)
+
+    gf, gu = jax.grad(loss_k, argnums=(0, 1))(fb, uv)
+    assert gf.dtype == jnp.bfloat16 and gf.shape == fb.shape
+    gf_j = jax.grad(
+        lambda f, u: jnp.sum(proj._bilinear_sample_jax(f, u) ** 2),
+        argnums=0)(feat, uv)
+    np.testing.assert_allclose(np.asarray(gf, np.float32),
+                               np.asarray(gf_j), rtol=0.1, atol=0.1)
+
+
+def test_three_interpolate_custom_vjp_bf16_cotangent():
+    # same dtype-promotion hazard as the bilinear kernel: bf16 points,
+    # f32 interpolation weights promote the twin's output to f32
+    from mm3d_tpu.ops import geometry as G
+    r = np.random.RandomState(5)
+    pts = jnp.asarray(r.randn(2, 16, 8).astype(np.float32))
+    idx = jnp.asarray(r.randint(0, 16, (2, 24, 3)).astype(np.int32))
+    w = r.rand(2, 24, 3).astype(np.float32)
+    w = jnp.asarray(w / w.sum(-1, keepdims=True))
+
+    def loss(p):
+        return jnp.sum(
+            pk.three_interpolate_pallas(p, idx, w).astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss)(pts.astype(jnp.bfloat16))
+    assert gp.dtype == jnp.bfloat16 and gp.shape == pts.shape
+    gp_j = jax.grad(
+        lambda p: jnp.sum(G._three_interpolate_jax(p, idx, w) ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(gp, np.float32),
+                               np.asarray(gp_j), rtol=0.1, atol=0.1)
+
+
 def test_bilinear_dispatch_pallas_mode():
     feat, uv = _mk(3, 2, 8, 8, 16, 24)
     with ops.use_impl("jax"):
